@@ -1,0 +1,329 @@
+"""Unified configuration tree.
+
+Replaces the reference's three coexisting config systems — the module-global
+``CONF`` EasyDict (``lib/config.py:9-119``), the yacs-style ``CfgNode``
+(``lib/config.py:122-260``) and the LAVIS OmegaConf ``Config``
+(``3DLLM_BLIP2-base/lavis/common/config.py:16-49``) — with one typed
+dataclass tree that supports YAML load and dot-key CLI overrides.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, List, Optional, Tuple
+
+import yaml
+
+
+# ---------------------------------------------------------------------------
+# Leaf config groups
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DataConfig:
+    """SQA3D/ScanQA data pipeline. Mirrors lib/sepdataset.py + lib/config.py:81-119."""
+    sqa_train: str = "assets/data/sqa/SQA_train.json"
+    sqa_val: str = "assets/data/sqa/SQA_val.json"
+    sqa_test: str = "assets/data/sqa/SQA_test.json"
+    answer_counter: str = "assets/data/sqa/answer_counter.json"
+    scene_dir: str = "assets/data/scannet_3d"
+    max_text_len: int = 100            # CONF.TRAIN.MAX_TEXT_LEN (lib/config.py:51)
+    num_answers: int = 706             # answer vocab size (answer_max_size train.py:46)
+    answer_min_freq: int = 1           # train.py:45 answer_cands filtering
+    voxel_size: float = 0.02           # CONF.OPENSCENE.voxel_size (lib/config.py:103)
+    point_capacity: int = 65536        # fixed per-sample padded point budget
+    voxel_capacity: int = 49152        # fixed per-sample padded voxel budget
+    use_augmentation: bool = True      # CONF.TRAIN.USE_AUGMENTATION
+    aug_rot_z: bool = True             # only rot-z enabled in reference (lib/config.py:83-87)
+    aug_mirror: bool = False
+    num_workers: int = 8
+    tokenizer: str = "sentence-transformers/all-mpnet-base-v2"
+    seed: int = 42
+
+
+@dataclass
+class SparseConfig:
+    """Sparse voxel engine (MinkowskiEngine replacement). See sparse/."""
+    # MinkUNet18A PLANES (situation3d/models/mink_unet.py:214-221)
+    planes: Tuple[int, ...] = (32, 64, 128, 256, 128, 128, 96, 96)
+    layers: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2, 2)
+    init_dim: int = 32
+    in_channels: int = 3
+    out_channels: int = 768            # CLIP space (mink_unet.py DisNet)
+    bottleneck_channels: int = 256     # feat_bottleneck consumed by SIG3D
+    # fixed per-stride voxel capacities (stride 1,2,4,8,16) for static shapes
+    capacities: Tuple[int, ...] = (49152, 24576, 12288, 6144, 3072)
+    kernel_volume: int = 27            # 3x3x3
+
+
+@dataclass
+class ModelConfig:
+    """SIG3D model (situation3d/models/sqa_module.py)."""
+    hidden_size: int = 768             # CONF.TRAIN.HIDDEN_SIZE
+    mcan_flat_mlp_size: int = 512
+    mcan_flat_glimpses: int = 1
+    mcan_flat_out_size: int = 768      # lang/scene flat out (sqa_module.py:150-170)
+    mcan_dropout: float = 0.1
+    mcan_num_heads: int = 8
+    mcan_num_layers: int = 2           # 2xSA / 2xSGA (sqa_module.py:176-184)
+    mcan_ff_size: int = 2048
+    num_scene_tokens: int = 256        # CONF.OPENSCENE.num_points (lib/config.py:104)
+    scene_feat_dim: int = 256          # bottleneck channels
+    lang_model: str = "mpnet"          # "mpnet" (BERT-style) | "lstm"
+    lang_freeze: str = "last_layer"    # "all" | "last_layer" | "none"
+    situation_loss_tag: str = "__quat____cls__"  # __quat__/__angle__/__6d__ x __class__
+    answer_pdrop: float = 0.3
+    pos_sigma: float = 0.16            # Gaussian loc-gt sigma (sqa_module.py:330)
+    use_situation: bool = True         # CONF.TRAIN.USE_SITUATION
+    predict_situation: bool = True     # CONF.TRAIN.PREDICT_SITUATION
+    no_3d: bool = False                # CONF.TRAIN.NO3D
+    dtype: str = "bfloat16"            # activation dtype on TPU
+
+
+@dataclass
+class LangConfig:
+    """Language encoder (situation3d/models/sep_lang_module_bert.py)."""
+    vocab_size: int = 30527            # mpnet vocab
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 514
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1
+    relative_attention_num_buckets: int = 32  # MPNet uses relative position bias
+
+
+@dataclass
+class LossConfig:
+    """Loss weights (lib/config.py:71-79, lib/loss_helper.py:230-302)."""
+    answer_weight: float = 1.0
+    aux_situation_weight: float = 1.0
+    pos_weight: float = 1.0
+    rot_weight: float = 1.0
+    vote_weight: float = 0.0           # detection off by default
+    objectness_weight: float = 0.0
+    box_weight: float = 0.0
+    sem_cls_weight: float = 0.0
+    amplifier: float = 10.0            # loss *= 10 (loss_helper.py:300)
+    answer_loss: str = "bce"           # "bce" | "ce"
+    use_answer_weights: bool = True
+
+
+@dataclass
+class TrainConfig:
+    """Trainer (lib/solver.py + lavis runners)."""
+    batch_size: int = 32
+    epochs: int = 40
+    lr: float = 2e-5
+    weight_decay: float = 0.05
+    lr_schedule: str = "step"          # "step" | "multistep" | "warmup_cosine" | "warmup_step"
+    lr_decay_steps: Tuple[int, ...] = (15, 20, 25)   # epochs (train.sh recipe)
+    lr_decay_rate: float = 0.1
+    warmup_steps: int = 1000
+    min_lr: float = 1e-5
+    grad_clip_value: float = 1.0       # clip_grad_value_ (solver.py:624)
+    grad_accum_steps: int = 1
+    bn_momentum_init: float = 0.5      # BNMomentumScheduler (solver.py:249-257)
+    bn_momentum_decay: float = 0.5
+    bn_momentum_step: int = 20
+    val_every_steps: int = 1000        # val_step (solver.py:437)
+    log_every_steps: int = 50
+    ckpt_dir: str = "outputs/ckpt"
+    ckpt_keep: int = 3
+    seed: int = 42
+    frozen_prefixes: Tuple[str, ...] = ("scene_encoder",)  # no_update_filter openscene_net
+    bf16: bool = True
+    donate_state: bool = True
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh / parallelism (parallel/mesh.py). Replaces NCCL DDP."""
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1            # -1 => all devices
+    model_parallel: int = 1
+    allow_split_physical_axes: bool = True
+
+
+@dataclass
+class QFormerConfig:
+    """Q-Former (3DLLM_BLIP2-base/lavis/models/blip2_models/Qformer.py)."""
+    num_query_tokens: int = 32
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    cross_attention_freq: int = 2      # blip2.py:120 init_Qformer
+    encoder_width: int = 1408          # eva_vit num_features (eva_vit.py:310)
+    vocab_size: int = 30523            # bert-base + 64 loc tokens (blip2.py:31-36)
+    max_position: int = 512
+    layer_norm_eps: float = 1e-12
+    scene_token_capacity: int = 5120   # 5000 scene tokens padded to tile multiple
+
+
+@dataclass
+class T5Config:
+    """FlanT5 (vendored modeling_t5.py). Defaults sized for flan-t5-xl."""
+    vocab_size: int = 65536            # 32128 + 32768 loc tokens, padded (blip2_t5.py:73-82)
+    d_model: int = 2048
+    d_kv: int = 64
+    d_ff: int = 5120
+    num_layers: int = 24
+    num_decoder_layers: int = 24
+    num_heads: int = 32
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_epsilon: float = 1e-6
+    dense_act_fn: str = "gelu"         # override at load (blip2_t5.py:79)
+    is_gated_act: bool = True
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    decoder_start_token_id: int = 0
+    max_input_len: int = 480           # 32 query + <=400 prompt padded
+    max_answer_len: int = 50
+    tie_word_embeddings: bool = False
+
+
+@dataclass
+class Blip2Config:
+    qformer: QFormerConfig = field(default_factory=QFormerConfig)
+    t5: T5Config = field(default_factory=T5Config)
+    pc_feat_dim: int = 1408
+    pos_scale: float = 0.01            # 0.01 x sinusoidal xyz (blip2_t5.py:106-118)
+    prompt: str = "Question: {} Answer:"
+    max_txt_len: int = 400
+    freeze_t5_except_embeddings: bool = True   # blip2_t5.py:84-89
+
+
+@dataclass
+class EvalConfig:
+    batch_size: int = 32
+    split: str = "val"
+    pos_thresholds: Tuple[float, ...] = (0.5, 1.0)     # meters
+    rot_thresholds: Tuple[float, ...] = (15.0, 30.0)   # degrees
+    num_beams: int = 1                 # beam=1 forced (blip2_t5.py:320)
+    max_gen_len: int = 10
+    output_dir: str = "outputs/eval"
+
+
+@dataclass
+class LogConfig:
+    use_wandb: bool = False
+    use_tensorboard: bool = False
+    project: str = "situation3d_tpu"
+    log_dir: str = "outputs/logs"
+    profile_steps: Tuple[int, int] = (0, 0)  # (start, stop) jax.profiler window; (0,0)=off
+
+
+@dataclass
+class Config:
+    """Root config."""
+    data: DataConfig = field(default_factory=DataConfig)
+    sparse: SparseConfig = field(default_factory=SparseConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    lang: LangConfig = field(default_factory=LangConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    blip2: Blip2Config = field(default_factory=Blip2Config)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    log: LogConfig = field(default_factory=LogConfig)
+
+
+# ---------------------------------------------------------------------------
+# YAML load / dot-key override machinery
+# ---------------------------------------------------------------------------
+
+def _coerce(value: Any, target_type: Any) -> Any:
+    """Coerce a YAML/CLI value to the annotated field type."""
+    if target_type in (int, float, str, bool):
+        if target_type is bool and isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return target_type(value)
+    origin = getattr(target_type, "__origin__", None)
+    if origin in (tuple, Tuple):
+        if isinstance(value, str):
+            value = [v for v in value.strip("()[]").split(",") if v.strip()]
+        args = getattr(target_type, "__args__", ())
+        elem = args[0] if args and args[-1] is Ellipsis else None
+        if elem is not None:
+            return tuple(_coerce(v, elem) for v in value)
+        return tuple(value)
+    if origin in (list, List):
+        return list(value)
+    return value
+
+
+def _merge_dataclass(cfg: Any, overrides: dict) -> Any:
+    """Return a copy of dataclass ``cfg`` with nested dict ``overrides`` applied."""
+    kwargs = {}
+    by_name = {f.name: f for f in fields(cfg)}
+    for key, val in overrides.items():
+        if key not in by_name:
+            raise KeyError(
+                f"Unknown config key {key!r} for {type(cfg).__name__}; "
+                f"valid keys: {sorted(by_name)}"
+            )
+        f = by_name[key]
+        cur = getattr(cfg, key)
+        if is_dataclass(cur):
+            if not isinstance(val, dict):
+                raise TypeError(f"Config group {key!r} expects a mapping, got {val!r}")
+            kwargs[key] = _merge_dataclass(cur, val)
+        else:
+            kwargs[key] = _coerce(val, f.type if not isinstance(f.type, str)
+                                  else _resolve_type(f))
+    return dataclasses.replace(cfg, **kwargs)
+
+
+def _resolve_type(f) -> Any:
+    # dataclass field types may be strings under `from __future__ import annotations`
+    import typing
+    ns = {**globals(), **vars(typing)}
+    try:
+        return eval(f.type, ns)  # noqa: S307 - types defined in this module
+    except Exception:
+        return str
+
+
+def apply_overrides(cfg: Config, options: List[str]) -> Config:
+    """Apply ``a.b.c=value`` dot-key overrides (LAVIS ``--options`` analogue)."""
+    tree: dict = {}
+    for opt in options:
+        if "=" not in opt:
+            raise ValueError(f"Override must be key=value, got {opt!r}")
+        key, val = opt.split("=", 1)
+        try:
+            val = yaml.safe_load(val)
+        except yaml.YAMLError:
+            pass
+        node = tree
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return _merge_dataclass(cfg, tree)
+
+
+def load_config(path: Optional[str] = None, options: Optional[List[str]] = None) -> Config:
+    """Load a Config from a YAML file (optional) plus dot-key overrides."""
+    cfg = Config()
+    if path:
+        with open(path) as fh:
+            data = yaml.safe_load(fh) or {}
+        cfg = _merge_dataclass(cfg, data)
+    if options:
+        cfg = apply_overrides(cfg, options)
+    return cfg
+
+
+def to_dict(cfg: Any) -> Any:
+    return dataclasses.asdict(cfg)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as fh:
+        yaml.safe_dump(to_dict(cfg), fh, sort_keys=False)
