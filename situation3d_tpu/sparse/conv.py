@@ -1,0 +1,173 @@
+"""Sparse convolution compute + normalization modules.
+
+Feature-side compute for the sparse engine (coordinate side lives in
+``kernel_map.py``). Replaces ``ME.MinkowskiConvolution`` /
+``MinkowskiConvolutionTranspose`` / ``MinkowskiBatchNorm`` / ``MinkowskiReLU``
+as used by ``situation3d/models/mink_unet.py`` and ``resnet_base.py``.
+
+TPU mapping: a sparse conv is a sum over kernel offsets of
+``gather -> matmul``. Offsets are processed in chunks so the contraction
+dimension presented to the MXU is ``chunk * C_in >= ~256`` instead of a
+skinny ``C_in``; accumulation happens in float32 regardless of the
+(bfloat16) activation dtype.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from situation3d_tpu.sparse.tensor import SparseVoxels
+
+
+def sparse_conv_apply(
+    feats: jnp.ndarray,
+    nbr_idx: jnp.ndarray,
+    kernel: jnp.ndarray,
+    offset_chunk: Optional[int] = None,
+    precision=None,
+) -> jnp.ndarray:
+    """Gather-matmul sparse convolution.
+
+    Args:
+      feats:   [B, V_in, C_in] input features (padding rows must be zero).
+      nbr_idx: int32 [B, V_out, K] neighbor map (miss == V_in gathers zeros).
+      kernel:  [K, C_in, C_out] weights.
+      offset_chunk: offsets per fused matmul; default targets a >=256-wide
+        contraction for the MXU.
+
+    Returns [B, V_out, C_out] (float32 accumulated, cast back to feats.dtype).
+    """
+    B, V_in, C_in = feats.shape
+    K = kernel.shape[0]
+    V_out = nbr_idx.shape[1]
+    if offset_chunk is None:
+        offset_chunk = max(1, min(K, -(-256 // max(C_in, 1))))
+    padded = jnp.concatenate([feats, jnp.zeros((B, 1, C_in), feats.dtype)], axis=1)
+
+    out = jnp.zeros((B, V_out, kernel.shape[-1]), jnp.float32)
+    for start in range(0, K, offset_chunk):
+        stop = min(start + offset_chunk, K)
+        nk = stop - start
+        idx = nbr_idx[:, :, start:stop].reshape(B, V_out * nk)
+        g = jnp.take_along_axis(padded, idx[..., None], axis=1)
+        g = g.reshape(B, V_out, nk * C_in)
+        w = kernel[start:stop].reshape(nk * C_in, -1).astype(feats.dtype)
+        out = out + jnp.einsum(
+            "bvc,cd->bvd", g, w, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    return out.astype(feats.dtype)
+
+
+class SparseConv(nn.Module):
+    """Sparse convolution over a precomputed neighbor map.
+
+    ``ME.MinkowskiConvolution(in, out, kernel_size, stride, dimension=3)``
+    equivalent (bias-free, like the reference's convs — BN supplies bias).
+    The same module implements transpose convs: the direction lives entirely
+    in the neighbor map.
+    """
+    out_channels: int
+    kernel_volume: int  # K = kernel_size**3 (or product of per-axis sizes)
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels, nbr_idx, out_coords, out_mask, out_stride) -> SparseVoxels:
+        c_in = x.num_channels
+        # fan-in init like ME's kaiming for sparse kernels
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
+            (self.kernel_volume, c_in, self.out_channels),
+            jnp.float32,
+        )
+        out = sparse_conv_apply(x.feats.astype(self.dtype), nbr_idx, kernel)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+            out = out + bias.astype(out.dtype)
+        out = jnp.where(out_mask[..., None], out, 0)
+        return SparseVoxels(coords=out_coords, feats=out, mask=out_mask, stride=out_stride)
+
+
+class SparseConv1x1(nn.Module):
+    """kernel_size=1 sparse conv == per-voxel dense projection (``final`` layer
+    and BasicBlock downsample path in the reference)."""
+    out_channels: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels) -> SparseVoxels:
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
+            (x.num_channels, self.out_channels),
+            jnp.float32,
+        )
+        out = jnp.einsum(
+            "bvc,cd->bvd", x.feats.astype(self.dtype), w.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+            out = out + b
+        out = jnp.where(x.mask[..., None], out, 0).astype(self.dtype)
+        return x.replace(feats=out)
+
+
+class SparseBatchNorm(nn.Module):
+    """Masked batch norm over valid voxels (``ME.MinkowskiBatchNorm``).
+
+    Statistics are computed over all valid voxels of the whole batch in
+    float32. In training mode, running stats update into the
+    ``batch_stats`` collection; in eval (the frozen-OpenScene path of SIG3D
+    training, ``CONF.TRAIN.no_update_filter``) running stats are used.
+    ``momentum`` is overridable per-call for the BN-momentum schedule
+    (``lib/solver.py:249-257``).
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels, use_running_average: bool = False,
+                 momentum: Optional[float] = None) -> SparseVoxels:
+        c = x.num_channels
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            f = x.feats.astype(jnp.float32)
+            m = x.mask[..., None].astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(f * m, axis=(0, 1)) / n
+            var = jnp.sum(jnp.square(f - mean) * m, axis=(0, 1)) / n
+            mom = self.momentum if momentum is None else momentum
+            if not self.is_initializing():
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
+                ra_var.value = mom * ra_var.value + (1 - mom) * var
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        out = (x.feats.astype(jnp.float32) - mean) * inv + bias
+        out = jnp.where(x.mask[..., None], out, 0).astype(self.dtype)
+        return x.replace(feats=out)
+
+
+def sparse_relu(x: SparseVoxels) -> SparseVoxels:
+    return x.replace(feats=jnp.maximum(x.feats, 0))
+
+
+def global_avg_pool(x: SparseVoxels) -> jnp.ndarray:
+    """``ME.MinkowskiGlobalPooling`` equivalent: [B, C] masked mean."""
+    m = x.mask[..., None].astype(jnp.float32)
+    s = jnp.sum(x.feats.astype(jnp.float32) * m, axis=1)
+    n = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return s / n

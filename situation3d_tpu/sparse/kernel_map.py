@@ -1,0 +1,143 @@
+"""Jittable sparse-convolution coordinate management.
+
+The TPU-native replacement for MinkowskiEngine's C++/CUDA CoordinateManager
+(coordinate hashing + kernel-map construction, the engine behind
+``ME.MinkowskiConvolution`` used by ``situation3d/models/mink_unet.py``).
+
+Instead of hash tables, voxel coords are packed into int32 keys per sample,
+sorted once per stride level, and neighbor lookups become binary searches
+(``searchsorted``) — O(K · V · log V) integer work that XLA compiles into the
+same program as the conv compute. Misses map to a sentinel row that gathers
+zeros.
+
+Offset/region conventions follow MinkowskiEngine's hypercube kernel:
+odd kernels are centered (offsets in ``[-(k-1)/2, (k-1)/2]``), even kernels
+are forward-looking (offsets in ``[0, k)``), offsets are in units of the
+input tensor stride. The canonical enumeration order is
+``itertools.product`` with the x-axis slowest; ``ckpt_compat`` handles any
+permutation needed when importing reference weights.
+"""
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from situation3d_tpu.ops.voxelize import COORD_BOUND, pack_coords, voxelize_jax
+
+_SENTINEL_KEY = np.int32(np.iinfo(np.int32).max)
+
+
+def kernel_offsets(kernel_size: int) -> np.ndarray:
+    """Integer kernel offsets [K, 3] in the canonical order.
+
+    Odd kernel => centered hypercube; even kernel => [0, k) (MinkowskiEngine
+    convention for its strided kernel-2 convs).
+    """
+    if kernel_size % 2 == 1:
+        r = kernel_size // 2
+        rng = range(-r, r + 1)
+    else:
+        rng = range(kernel_size)
+    return np.array(list(itertools.product(rng, rng, rng)), dtype=np.int32)
+
+
+def _sorted_key_table(coords: jnp.ndarray, mask: jnp.ndarray, stride: int):
+    """Sorted packed keys + original indices for one sample's voxel set."""
+    v = coords.shape[0]
+    keys = pack_coords(coords // stride)
+    keys = jnp.where(mask, keys, _SENTINEL_KEY)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (v, 1), 0).squeeze(-1)
+    sorted_keys, sorted_idx = jax.lax.sort((keys, idx), num_keys=1, is_stable=True)
+    return sorted_keys, sorted_idx
+
+
+def _lookup(sorted_keys, sorted_idx, query_keys, query_valid, miss):
+    # method="sort" lowers to one large sort instead of a sequential
+    # binary-search scan — ~4x faster on TPU for our V*K query volumes
+    pos = jnp.searchsorted(sorted_keys, query_keys.ravel(), method="sort")
+    pos = pos.reshape(query_keys.shape)
+    pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
+    hit = (sorted_keys[pos] == query_keys) & query_valid
+    return jnp.where(hit, sorted_idx[pos], miss).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("in_stride", "offset_stride"))
+def build_kernel_map(
+    in_coords: jnp.ndarray,
+    in_mask: jnp.ndarray,
+    out_coords: jnp.ndarray,
+    out_mask: jnp.ndarray,
+    offsets: jnp.ndarray,
+    in_stride: int,
+    offset_stride: int,
+) -> jnp.ndarray:
+    """Neighbor map for a sparse conv, one sample.
+
+    For output voxel j and kernel offset k the input voxel index with
+    coords ``out_coords[j] + offsets[k] * offset_stride`` (or the sentinel
+    ``V_in`` on miss). vmap over the batch axis.
+
+    Args:
+      in_coords:  int32 [V_in, 3] raw-unit coords (multiples of in_stride).
+      in_mask:    bool [V_in].
+      out_coords: int32 [V_out, 3].
+      out_mask:   bool [V_out].
+      offsets:    int32 [K, 3] integer kernel offsets.
+      in_stride:  tensor stride of the input (packing divisor).
+      offset_stride: raw units per offset step (== input tensor stride for
+        convs; == output tensor stride for transpose convs).
+
+    Returns:
+      int32 [V_out, K] gather indices with miss => V_in.
+    """
+    v_in = in_coords.shape[0]
+    sorted_keys, sorted_idx = _sorted_key_table(in_coords, in_mask, in_stride)
+
+    q = out_coords[:, None, :] + offsets[None, :, :] * offset_stride  # [V_out,K,3]
+    # a query is valid if in range and exactly divisible by the input stride
+    divisible = jnp.all(q % in_stride == 0, axis=-1)
+    in_range = jnp.all((q >= 0) & (q < COORD_BOUND * in_stride), axis=-1)
+    valid = divisible & in_range & out_mask[:, None]
+    qkeys = pack_coords(jnp.clip(q, 0, COORD_BOUND * in_stride - 1) // in_stride)
+    return _lookup(sorted_keys, sorted_idx, qkeys, valid, v_in)
+
+
+@partial(jax.jit, static_argnames=("factor", "capacity"))
+def downsample_coords(
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    stride: int,
+    factor: int,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Output coordinates of a strided conv, one sample.
+
+    ME semantics: new coords = unique(floor(c / new_stride) * new_stride),
+    new_stride = stride * factor.
+
+    Returns (out_coords int32 [capacity, 3] in raw units, out_mask [capacity]).
+    vmap over batch.
+    """
+    new_stride = stride * factor
+    down = coords // new_stride
+    uc, um, _, _ = voxelize_jax(down, mask, capacity)
+    return uc * new_stride, um
+
+
+def gather_neighbors(feats: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather neighbor features with a zero row for misses.
+
+    Args: feats [B, V_in, C]; nbr_idx int32 [B, V_out, K] (miss == V_in).
+    Returns [B, V_out, K, C].
+    """
+    B, V_in, C = feats.shape
+    padded = jnp.concatenate([feats, jnp.zeros((B, 1, C), feats.dtype)], axis=1)
+    _, V_out, K = nbr_idx.shape
+    flat = nbr_idx.reshape(B, V_out * K)
+    out = jnp.take_along_axis(padded, flat[..., None], axis=1)
+    return out.reshape(B, V_out, K, C)

@@ -1,0 +1,229 @@
+"""MinkUNet18A — sparse-voxel UNet, TPU-native.
+
+Re-implementation of the OpenScene encoder used by SIG3D
+(``situation3d/models/mink_unet.py`` MinkUNetBase/MinkUNet18A +
+``resnet_base.py`` ResNetBase) on the gather-scatter sparse engine.
+
+Structure (MinkUNet18A: BasicBlock, LAYERS=(2,)*8,
+PLANES=(32,64,128,256,128,128,96,96), INIT_DIM=32):
+
+  conv0 (k5, s1) -> [conv k2/s2 -> 2x BasicBlock(k3)] x4 down to stride 16
+  (bottleneck, 256 ch, ``feat_bottleneck``), then 4x [convtr k2/s2 -> cat
+  skip -> 2x BasicBlock] back to stride 1 and a 1x1 ``final`` conv to the
+  768-d CLIP space (``openscene_out``) — decoder tail only when
+  ``final_result`` (CONF.OPENSCENE.final_result, eval-time segmentation).
+
+Coordinate management is precomputed by :func:`build_unet_plan` (jittable;
+see kernel_map.py) so the network body is pure MXU work.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from situation3d_tpu.config import SparseConfig
+from situation3d_tpu.sparse.conv import (
+    SparseBatchNorm,
+    SparseConv,
+    SparseConv1x1,
+    sparse_relu,
+)
+from situation3d_tpu.sparse.kernel_map import (
+    build_kernel_map,
+    downsample_coords,
+    kernel_offsets,
+)
+from situation3d_tpu.sparse.tensor import SparseVoxels
+
+STRIDES = (1, 2, 4, 8, 16)
+
+
+def build_unet_plan(
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    capacities: Sequence[int],
+) -> Dict[str, Any]:
+    """Build all coordinate sets and kernel maps for the UNet, batched.
+
+    The TPU analogue of MinkowskiEngine's CoordinateManager: every conv in
+    the network reads a precomputed neighbor map; all k3 convs at one stride
+    share a single map.
+
+    Args:
+      coords: int32 [B, V0, 3] stride-1 voxel coords (padded).
+      mask:   bool [B, V0].
+      capacities: per-stride voxel budgets for strides (1, 2, 4, 8, 16).
+
+    Returns a dict:
+      levels: list over strides of {coords, mask, map_k3}; level 0 also has
+        map_k5. Levels 1.. have map_down (from finer level) and level i has
+        map_up used by the transpose conv from level i+1 into level i.
+    """
+    assert len(capacities) == len(STRIDES)
+    k2 = jnp.asarray(kernel_offsets(2))
+    k3 = jnp.asarray(kernel_offsets(3))
+    k5 = jnp.asarray(kernel_offsets(5))
+
+    levels = [{"coords": coords, "mask": mask}]
+    for i in range(1, len(STRIDES)):
+        prev = levels[i - 1]
+        c, m = jax.vmap(
+            lambda pc, pm: downsample_coords(
+                pc, pm, STRIDES[i - 1], 2, capacities[i]
+            )
+        )(prev["coords"], prev["mask"])
+        levels.append({"coords": c, "mask": m})
+
+    for i, lvl in enumerate(levels):
+        s = STRIDES[i]
+        lvl["map_k3"] = jax.vmap(
+            lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, k3, s, s)
+        )(lvl["coords"], lvl["mask"], lvl["coords"], lvl["mask"])
+        if i == 0:
+            lvl["map_k5"] = jax.vmap(
+                lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, k5, s, s)
+            )(lvl["coords"], lvl["mask"], lvl["coords"], lvl["mask"])
+        if i > 0:
+            fine = levels[i - 1]
+            sf = STRIDES[i - 1]
+            # strided conv: query fine table from coarse coords, offsets in
+            # units of the (fine) input stride
+            lvl["map_down"] = jax.vmap(
+                lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, k2, sf, sf)
+            )(fine["coords"], fine["mask"], lvl["coords"], lvl["mask"])
+            # transpose conv back up: query coarse table from fine coords
+            # with mirrored offsets; divisibility check inside handles parity
+            fine["map_up"] = jax.vmap(
+                lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, -k2, s, sf)
+            )(lvl["coords"], lvl["mask"], fine["coords"], fine["mask"])
+    return {"levels": levels}
+
+
+class BasicBlock(nn.Module):
+    """ME ResNet BasicBlock (expansion=1): conv3-bn-relu-conv3-bn + skip."""
+    planes: int
+    kernel_volume: int = 27
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels, nbr_idx, train: bool, momentum=None) -> SparseVoxels:
+        residual = x
+        out = SparseConv(self.planes, self.kernel_volume, dtype=self.dtype, name="conv1")(
+            x, nbr_idx, x.coords, x.mask, x.stride
+        )
+        out = SparseBatchNorm(dtype=self.dtype, name="norm1")(
+            out, use_running_average=not train, momentum=momentum
+        )
+        out = sparse_relu(out)
+        out = SparseConv(self.planes, self.kernel_volume, dtype=self.dtype, name="conv2")(
+            out, nbr_idx, out.coords, out.mask, out.stride
+        )
+        out = SparseBatchNorm(dtype=self.dtype, name="norm2")(
+            out, use_running_average=not train, momentum=momentum
+        )
+        if residual.num_channels != self.planes:
+            residual = SparseConv1x1(self.planes, dtype=self.dtype, name="downsample_conv")(residual)
+            residual = SparseBatchNorm(dtype=self.dtype, name="downsample_norm")(
+                residual, use_running_average=not train, momentum=momentum
+            )
+        return sparse_relu(out.replace(feats=out.feats + residual.feats))
+
+
+class ResLayer(nn.Module):
+    planes: int
+    num_blocks: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, nbr_idx, train, momentum=None):
+        for i in range(self.num_blocks):
+            x = BasicBlock(self.planes, dtype=self.dtype, name=f"block{i}")(
+                x, nbr_idx, train, momentum
+            )
+        return x
+
+
+class MinkUNet(nn.Module):
+    """MinkUNet18A ('DisNet' in the reference, mink_unet.py:293)."""
+    cfg: SparseConfig
+    final_result: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: SparseVoxels,
+        plan: Dict[str, Any],
+        train: bool = False,
+        momentum: Optional[float] = None,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        L = plan["levels"]
+        dt = self.dtype
+
+        def conv(name, out_ch, kvol, src, nbr, lvl, stride):
+            return SparseConv(out_ch, kvol, dtype=dt, name=name)(
+                src, nbr, lvl["coords"], lvl["mask"], stride
+            )
+
+        def bn(name, t):
+            return SparseBatchNorm(dtype=dt, name=name)(
+                t, use_running_average=not train, momentum=momentum
+            )
+
+        out: Dict[str, Any] = {}
+        x = x.replace(feats=x.feats.astype(dt))
+
+        h = conv("conv0p1s1", cfg.init_dim, 125, x, L[0]["map_k5"], L[0], 1)
+        h = sparse_relu(bn("bn0", h))
+        out_p1 = h
+
+        h = conv("conv1p1s2", cfg.init_dim, 8, h, L[1]["map_down"], L[1], 2)
+        h = sparse_relu(bn("bn1", h))
+        h = ResLayer(cfg.planes[0], cfg.layers[0], dt, name="block1")(h, L[1]["map_k3"], train, momentum)
+        out_b1p2 = h
+
+        h = conv("conv2p2s2", h.num_channels, 8, h, L[2]["map_down"], L[2], 4)
+        h = sparse_relu(bn("bn2", h))
+        h = ResLayer(cfg.planes[1], cfg.layers[1], dt, name="block2")(h, L[2]["map_k3"], train, momentum)
+        out_b2p4 = h
+
+        h = conv("conv3p4s2", h.num_channels, 8, h, L[3]["map_down"], L[3], 8)
+        h = sparse_relu(bn("bn3", h))
+        h = ResLayer(cfg.planes[2], cfg.layers[2], dt, name="block3")(h, L[3]["map_k3"], train, momentum)
+        out_b3p8 = h
+
+        h = conv("conv4p8s2", h.num_channels, 8, h, L[4]["map_down"], L[4], 16)
+        h = sparse_relu(bn("bn4", h))
+        h = ResLayer(cfg.planes[3], cfg.layers[3], dt, name="block4")(h, L[4]["map_k3"], train, momentum)
+        out["feat_bottleneck"] = h  # stride 16, 256 ch (sqa_module.py:292 input)
+
+        h = conv("convtr4p16s2", cfg.planes[4], 8, h, L[3]["map_up"], L[3], 8)
+        h = sparse_relu(bn("bntr4", h))
+        h = h.cat(out_b3p8)
+        h = ResLayer(cfg.planes[4], cfg.layers[4], dt, name="block5")(h, L[3]["map_k3"], train, momentum)
+        out["feat_layer5"] = h
+
+        h = conv("convtr5p8s2", cfg.planes[5], 8, h, L[2]["map_up"], L[2], 4)
+        h = sparse_relu(bn("bntr5", h))
+        h = h.cat(out_b2p4)
+        h = ResLayer(cfg.planes[5], cfg.layers[5], dt, name="block6")(h, L[2]["map_k3"], train, momentum)
+        out["feat_layer6"] = h
+
+        if self.final_result:
+            h = conv("convtr6p4s2", cfg.planes[6], 8, h, L[1]["map_up"], L[1], 2)
+            h = sparse_relu(bn("bntr6", h))
+            h = h.cat(out_b1p2)
+            h = ResLayer(cfg.planes[6], cfg.layers[6], dt, name="block7")(h, L[1]["map_k3"], train, momentum)
+
+            h = conv("convtr7p2s2", cfg.planes[7], 8, h, L[0]["map_up"], L[0], 1)
+            h = sparse_relu(bn("bntr7", h))
+            h = h.cat(out_p1)
+            h = ResLayer(cfg.planes[7], cfg.layers[7], dt, name="block8")(h, L[0]["map_k3"], train, momentum)
+            out["openscene_out"] = SparseConv1x1(
+                cfg.out_channels, use_bias=True, dtype=dt, name="final"
+            )(h)
+        return out

@@ -1,0 +1,254 @@
+"""Sparse engine tests: kernel maps vs dict oracles, sparse conv vs dense
+conv equivalence, MinkUNet shapes/finiteness (reference semantics:
+MinkowskiEngine 0.5.4 generalized sparse conv as used by mink_unet.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from situation3d_tpu.config import SparseConfig
+from situation3d_tpu.sparse.conv import sparse_conv_apply
+from situation3d_tpu.sparse.kernel_map import (
+    build_kernel_map,
+    downsample_coords,
+    gather_neighbors,
+    kernel_offsets,
+)
+from situation3d_tpu.sparse.minkunet import MinkUNet, build_unet_plan
+from situation3d_tpu.sparse.tensor import SparseVoxels
+
+
+def make_sparse(rng, n_occ, span=20, cap=None, seed_offset=0):
+    """Random unique voxel set."""
+    cap = cap or n_occ
+    seen, coords = set(), []
+    while len(coords) < n_occ:
+        c = tuple(rng.randint(0, span, 3))
+        if c not in seen:
+            seen.add(c)
+            coords.append(c)
+    coords = np.array(coords, np.int32)
+    mask = np.zeros(cap, bool)
+    mask[:n_occ] = True
+    out = np.zeros((cap, 3), np.int32)
+    out[:n_occ] = coords
+    return out, mask
+
+
+def test_kernel_offsets_conventions():
+    k3 = kernel_offsets(3)
+    assert k3.shape == (27, 3)
+    assert (k3.min(), k3.max()) == (-1, 1)
+    k2 = kernel_offsets(2)
+    assert k2.shape == (8, 3)
+    assert (k2.min(), k2.max()) == (0, 1)
+    assert kernel_offsets(5).shape == (125, 3)
+
+
+def test_kernel_map_oracle(rng):
+    coords, mask = make_sparse(rng, 50, span=10, cap=64)
+    offs = kernel_offsets(3)
+    nbr = np.asarray(
+        build_kernel_map(
+            jnp.asarray(coords), jnp.asarray(mask),
+            jnp.asarray(coords), jnp.asarray(mask),
+            jnp.asarray(offs), 1, 1,
+        )
+    )
+    table = {tuple(c): i for i, c in enumerate(coords[:50])}
+    for j in range(64):
+        for k, o in enumerate(offs):
+            if not mask[j]:
+                assert nbr[j, k] == 64
+                continue
+            q = tuple(coords[j] + o)
+            want = table.get(q, 64) if all(v >= 0 for v in q) else 64
+            assert nbr[j, k] == want, (j, k, q)
+
+
+def test_downsample_coords_oracle(rng):
+    coords, mask = make_sparse(rng, 40, span=16, cap=64)
+    oc, om = downsample_coords(jnp.asarray(coords), jnp.asarray(mask), 1, 2, 64)
+    oc, om = np.asarray(oc), np.asarray(om)
+    want = {tuple((c // 2) * 2) for c in coords[:40]}
+    got = {tuple(c) for c in oc[om]}
+    assert got == want
+    assert (oc[om] % 2 == 0).all()
+
+
+def dense_conv3d_oracle(grid, kernel, offsets):
+    """grid [S,S,S,Cin], kernel [K,Cin,Cout] -> [S,S,S,Cout] with zero pad."""
+    S = grid.shape[0]
+    out = np.zeros(grid.shape[:3] + (kernel.shape[-1],), np.float32)
+    for k, o in enumerate(offsets):
+        for x in range(S):
+            for y in range(S):
+                for z in range(S):
+                    q = (x + o[0], y + o[1], z + o[2])
+                    if all(0 <= v < S for v in q):
+                        out[x, y, z] += grid[q] @ kernel[k]
+    return out
+
+
+def test_sparse_conv_matches_dense(rng):
+    """Sparse conv on occupied sites == dense conv with zeros at empty sites."""
+    S, Cin, Cout = 6, 4, 5
+    occ = rng.rand(S, S, S) < 0.3
+    occ[0, 0, 0] = True
+    idx = np.argwhere(occ).astype(np.int32)
+    n = len(idx)
+    cap = n + 7
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:n] = idx
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    feats = np.zeros((cap, Cin), np.float32)
+    feats[:n] = rng.randn(n, Cin)
+    grid = np.zeros((S, S, S, Cin), np.float32)
+    grid[tuple(idx.T)] = feats[:n]
+
+    offs = kernel_offsets(3)
+    kernel = rng.randn(27, Cin, Cout).astype(np.float32)
+    nbr = build_kernel_map(
+        jnp.asarray(coords), jnp.asarray(mask), jnp.asarray(coords),
+        jnp.asarray(mask), jnp.asarray(offs), 1, 1,
+    )
+    got = np.asarray(
+        sparse_conv_apply(jnp.asarray(feats)[None], nbr[None], jnp.asarray(kernel),
+                          precision=jax.lax.Precision.HIGHEST)
+    )[0]
+    dense = dense_conv3d_oracle(grid, kernel, offs)
+    np.testing.assert_allclose(got[:n], dense[tuple(idx.T)], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[n:], 0, atol=1e-6)
+
+
+def test_strided_and_transpose_conv_maps(rng):
+    """Down map then up map: every fine voxel has exactly one coarse parent."""
+    coords, mask = make_sparse(rng, 60, span=12, cap=80)
+    cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+    oc, om = downsample_coords(cj, mj, 1, 2, 64)
+    k2 = jnp.asarray(kernel_offsets(2))
+    down = np.asarray(build_kernel_map(cj, mj, oc, om, k2, 1, 1))
+    up = np.asarray(build_kernel_map(oc, om, cj, mj, -k2, 2, 1))
+    ocn, omn = np.asarray(oc), np.asarray(om)
+    parent = {tuple(c): i for i, c in enumerate(ocn[omn])}
+    n_coarse = int(omn.sum())
+    for j in range(80):
+        if not mask[j]:
+            assert (up[j] == 64).all()
+            continue
+        hits = up[j][up[j] < 64]
+        assert len(hits) == 1  # exactly one coarse contributor
+        assert tuple(ocn[hits[0]]) == tuple((coords[j] // 2) * 2)
+    # down map: coarse voxel j gathers fine voxels in its 2x2x2 cell
+    fine_table = {tuple(c): i for i, c in enumerate(coords[:60])}
+    for j in range(64):
+        if not omn[j]:
+            continue
+        for k, o in enumerate(np.asarray(k2)):
+            want = fine_table.get(tuple(ocn[j] + o), 80)
+            assert down[j, k] == want
+
+
+def test_gather_neighbors_miss_is_zero(rng):
+    feats = jnp.asarray(rng.randn(1, 4, 3).astype(np.float32))
+    nbr = jnp.asarray(np.array([[[0, 4], [4, 4]]], np.int32))  # 4 == miss
+    g = np.asarray(gather_neighbors(feats, nbr))
+    np.testing.assert_allclose(g[0, 0, 1], 0)
+    np.testing.assert_allclose(g[0, 1], 0)
+    np.testing.assert_allclose(g[0, 0, 0], np.asarray(feats)[0, 0])
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = SparseConfig(
+        planes=(8, 16, 32, 64, 32, 32, 24, 24),
+        layers=(1, 1, 1, 1, 1, 1, 1, 1),
+        init_dim=8,
+        in_channels=3,
+        out_channels=16,
+        capacities=(256, 128, 64, 32, 16),
+    )
+    return cfg
+
+
+def _unet_inputs(rng, cfg, B=2):
+    caps = cfg.capacities
+    coords = np.zeros((B, caps[0], 3), np.int32)
+    mask = np.zeros((B, caps[0]), bool)
+    feats = np.zeros((B, caps[0], 3), np.float32)
+    for b in range(B):
+        c, m = make_sparse(rng, 200, span=30, cap=caps[0], seed_offset=b)
+        coords[b], mask[b] = c, m
+        feats[b][m] = rng.randn(m.sum(), 3)
+    return jnp.asarray(coords), jnp.asarray(mask), jnp.asarray(feats)
+
+
+@pytest.fixture(scope="module")
+def unet_setup(tiny_unet):
+    """Shared jitted forward for the UNet tests (one compile, not eager)."""
+    cfg = tiny_unet
+    rng = np.random.RandomState(0)
+    coords, mask, feats = _unet_inputs(rng, cfg)
+    model = MinkUNet(cfg, final_result=True)
+
+    @jax.jit
+    def forward(variables, coords, mask, feats):
+        plan = build_unet_plan(coords, mask, cfg.capacities)
+        x = SparseVoxels(coords=coords, feats=feats, mask=mask, stride=1)
+        return model.apply(variables, x, plan, train=False)
+
+    plan = jax.jit(lambda c, m: build_unet_plan(c, m, cfg.capacities))(coords, mask)
+    x = SparseVoxels(coords=coords, feats=feats, mask=mask, stride=1)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, plan, train=False))()
+    return dict(cfg=cfg, model=model, forward=forward, variables=variables,
+                coords=coords, mask=mask, feats=feats, plan=plan)
+
+
+def test_minkunet_forward(unet_setup):
+    cfg = unet_setup["cfg"]
+    out = unet_setup["forward"](
+        unet_setup["variables"], unet_setup["coords"], unet_setup["mask"],
+        unet_setup["feats"],
+    )
+    bott = out["feat_bottleneck"]
+    assert bott.stride == 16
+    assert bott.feats.shape == (2, cfg.capacities[4], 64)
+    assert np.isfinite(np.asarray(bott.feats)).all()
+    fin = out["openscene_out"]
+    assert fin.feats.shape == (2, cfg.capacities[0], 16)
+    # masked rows must be zero
+    assert np.allclose(np.asarray(bott.feats)[~np.asarray(bott.mask)], 0)
+
+
+def test_minkunet_batch_invariance(unet_setup):
+    """Same sample alone vs inside a batch must give identical outputs
+    (checks no cross-sample leakage through the batched plan)."""
+    coords, mask, feats = (unet_setup[k] for k in ("coords", "mask", "feats"))
+    out2 = unet_setup["forward"](unet_setup["variables"], coords, mask, feats)
+    out1 = unet_setup["forward"](
+        unet_setup["variables"], coords[:1], mask[:1], feats[:1]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["feat_bottleneck"].feats[0]),
+        np.asarray(out2["feat_bottleneck"].feats[0]),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_minkunet_train_mode_updates_stats(unet_setup):
+    cfg = unet_setup["cfg"]
+    model = unet_setup["model"]
+    coords, mask, feats = (unet_setup[k][:1] for k in ("coords", "mask", "feats"))
+    variables = unet_setup["variables"]
+
+    @jax.jit
+    def train_step(variables, coords, mask, feats):
+        plan = build_unet_plan(coords, mask, cfg.capacities)
+        x = SparseVoxels(coords=coords, feats=feats, mask=mask, stride=1)
+        return model.apply(variables, x, plan, train=True, mutable=["batch_stats"])
+
+    _, updates = train_step(variables, coords, mask, feats)
+    before = variables["batch_stats"]["bn0"]["mean"]
+    after = updates["batch_stats"]["bn0"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
