@@ -60,9 +60,9 @@ class SparseConfig:
 class ModelConfig:
     """SIG3D model (situation3d/models/sqa_module.py)."""
     hidden_size: int = 768             # CONF.TRAIN.HIDDEN_SIZE
-    mcan_flat_mlp_size: int = 512
+    mcan_flat_mlp_size: int = 256      # train.py:89 default
     mcan_flat_glimpses: int = 1
-    mcan_flat_out_size: int = 768      # lang/scene flat out (sqa_module.py:150-170)
+    mcan_flat_out_size: int = 512      # train.py:91 default
     mcan_dropout: float = 0.1
     mcan_num_heads: int = 8
     mcan_num_layers: int = 2           # 2xSA / 2xSGA (sqa_module.py:176-184)
@@ -71,7 +71,7 @@ class ModelConfig:
     scene_feat_dim: int = 256          # bottleneck channels
     lang_model: str = "mpnet"          # "mpnet" (BERT-style) | "lstm"
     lang_freeze: str = "last_layer"    # "all" | "last_layer" | "none"
-    situation_loss_tag: str = "__quat____cls__"  # __quat__/__angle__/__6d__ x __class__
+    situation_loss_tag: str = "__l2__quat__"  # train.py:34 / scripts/train.sh:7
     answer_pdrop: float = 0.3
     pos_sigma: float = 0.16            # Gaussian loc-gt sigma (sqa_module.py:330)
     use_situation: bool = True         # CONF.TRAIN.USE_SITUATION
