@@ -1,0 +1,97 @@
+"""Scorer + 3D-VQA data pipeline tests (reference:
+calculate_scores/calculate_score_sqa3d.py, threedvqa_datasets.py)."""
+import numpy as np
+
+from situation3d_tpu.config import Blip2Config, QFormerConfig, T5Config
+from situation3d_tpu.data.threedvqa import (clean_question, eval_batches,
+                                            synthetic_threedvqa, train_batches)
+from situation3d_tpu.eval.scorers import (bleu, cider, exact_match, meteor,
+                                          rouge_l, score_all)
+from situation3d_tpu.eval.sqa3d_scoring import (bucket_of, clean_answer,
+                                                score_results)
+
+
+def test_exact_match():
+    preds = {"a": "chair", "b": "red table", "c": "no"}
+    golds = {"a": ["chair", "sofa"], "b": ["table"], "c": ["yes"]}
+    assert abs(exact_match(preds, golds) - 1 / 3) < 1e-9
+
+
+def test_bleu_perfect_and_partial():
+    preds = {"a": "the red chair next to the door"}
+    golds = {"a": ["the red chair next to the door"]}
+    b = bleu(preds, golds)
+    assert all(abs(x - 1.0) < 1e-9 for x in b)
+    preds2 = {"a": "the blue chair next to the door"}
+    b2 = bleu(preds2, golds)
+    assert 0 < b2[0] < 1.0
+
+
+def test_rouge_meteor_cider_sane():
+    preds = {"a": "a red chair", "b": "dog"}
+    golds = {"a": ["a red chair near the door"], "b": ["cat"]}
+    r = rouge_l(preds, golds)
+    assert 0 < r < 1
+    m = meteor(preds, golds)
+    assert 0 < m < 1
+    c = cider(preds, golds)
+    assert c >= 0
+    # identical corpus scores higher than mismatched
+    same = {"a": "a red chair near the door", "b": "cat"}
+    assert cider(same, golds) > c
+
+
+def test_clean_answer_and_buckets():
+    assert clean_answer("<pad> chair</s>") == "chair"
+    assert bucket_of("What color is it") == "What"
+    assert bucket_of("describe this") == "Other"
+
+
+def test_score_results_buckets():
+    preds = {"q1": "chair", "q2": "<pad>two</s>"}
+    golds = {"q1": ["chair"], "q2": ["three"]}
+    questions = {"q1": "What is it", "q2": "How many windows"}
+    out = score_results(preds, golds, questions)
+    assert out["All"]["EM"] == 0.5
+    assert out["What"]["EM"] == 1.0
+    assert out["How"]["EM"] == 0.0
+    assert out["All"]["count"] == 2
+
+
+def _tiny_blip2_cfg():
+    return Blip2Config(
+        qformer=QFormerConfig(num_query_tokens=4, hidden_size=32, num_layers=2,
+                              num_heads=4, intermediate_size=64,
+                              encoder_width=48, scene_token_capacity=64),
+        t5=T5Config(vocab_size=256, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+                    num_decoder_layers=1, num_heads=4, max_answer_len=8),
+        pc_feat_dim=48, max_txt_len=16)
+
+
+def test_clean_question():
+    assert clean_question("What IS this?!") == "what is this?"
+    assert clean_question("a-b/c") == "a b c"
+
+
+def test_threedvqa_batches():
+    cfg = _tiny_blip2_cfg()
+    ds = synthetic_threedvqa(cfg, n_scenes=2, per_scene=3, n_points=100)
+    # train pairs expand by n_answers: scenes*3 questions, alternating 1/2 answers
+    pairs = ds.train_pairs()
+    assert len(pairs) == 2 * (1 + 2 + 1)
+    b = next(train_batches(ds, 4, seed=0))
+    assert b["pc_feat"].shape == (4, 64, 48)
+    assert b["pc_mask"].sum(1).tolist() == [64] * 4  # 100 pts subsampled to 64
+    assert b["labels"].shape == (4, 8)
+    assert b["label_mask"].max() == 1
+
+    ev = list(eval_batches(ds, 4))
+    assert ev[-1]["sample_valid"].sum() == len(ds) % 4 or ev[-1]["sample_valid"].all()
+
+
+def test_threedvqa_padding_under_capacity():
+    cfg = _tiny_blip2_cfg()
+    ds = synthetic_threedvqa(cfg, n_scenes=1, per_scene=1, n_points=20)
+    s = ds.sample(0)
+    assert s["pc_mask"].sum() == 20
+    np.testing.assert_allclose(s["pc_feat"][20:], 0)
