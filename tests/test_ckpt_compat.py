@@ -1,0 +1,262 @@
+"""ckpt_compat tests: synthetic torch-style state dicts with the reference's
+exact key naming convert into trees that load into the flax models
+(structure + shapes verified against model.init; forward runs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from situation3d_tpu.config import (Blip2Config, Config, LangConfig,
+                                    QFormerConfig, SparseConfig, T5Config,
+                                    apply_overrides)
+from situation3d_tpu.ckpt_compat.blip2 import (convert_blip2, convert_qformer,
+                                               merge_params)
+from situation3d_tpu.ckpt_compat.minkunet import convert_minkunet, reorder_kernel
+from situation3d_tpu.ckpt_compat.mpnet import convert_mpnet
+from situation3d_tpu.ckpt_compat.t5 import convert_t5
+
+
+def tree_shapes(t):
+    return jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
+
+
+def assert_same_structure_shapes(got, want, path=""):
+    assert set(got.keys()) == set(want.keys()), (
+        path, sorted(set(got) ^ set(want)))
+    for k in want:
+        if isinstance(want[k], dict):
+            assert_same_structure_shapes(got[k], want[k], f"{path}/{k}")
+        else:
+            assert tuple(np.shape(got[k])) == tuple(np.shape(want[k])), \
+                (f"{path}/{k}", np.shape(got[k]), np.shape(want[k]))
+
+
+def test_reorder_kernel_permutation():
+    k = np.arange(27 * 2 * 3).reshape(27, 2, 3).astype(np.float32)
+    r = reorder_kernel(k, 3)
+    # bijection, and center offset (13 in both orders) is fixed
+    assert sorted(r[:, 0, 0].tolist()) == sorted(k[:, 0, 0].tolist())
+    np.testing.assert_array_equal(r[13], k[13])
+    # ours index (x,y,z)=(0,0,1) -> 1 maps to ME index z*9 = 9
+    np.testing.assert_array_equal(r[1], k[9])
+
+
+def _fake_minkunet_sd(cfg: SparseConfig):
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(name, k, cin, cout):
+        sd[f"{name}.kernel"] = rng.randn(k, cin, cout).astype(np.float32)
+
+    def bn(name, c):
+        for s, shape in (("weight", c), ("bias", c), ("running_mean", c),
+                         ("running_var", c)):
+            sd[f"{name}.bn.{s}"] = rng.rand(shape).astype(np.float32)
+
+    P, D = cfg.planes, cfg.init_dim
+    conv("conv0p1s1", 125, cfg.in_channels, D); bn("bn0", D)
+    conv("conv1p1s2", 8, D, D); bn("bn1", D)
+    conv("conv2p2s2", 8, P[0], P[0]); bn("bn2", P[0])
+    conv("conv3p4s2", 8, P[1], P[1]); bn("bn3", P[1])
+    conv("conv4p8s2", 8, P[2], P[2]); bn("bn4", P[2])
+    conv("convtr4p16s2", 8, P[3], P[4]); bn("bntr4", P[4])
+    conv("convtr5p8s2", 8, P[4], P[5]); bn("bntr5", P[5])
+    conv("convtr6p4s2", 8, P[5], P[6]); bn("bntr6", P[6])
+    conv("convtr7p2s2", 8, P[6], P[7]); bn("bntr7", P[7])
+
+    def block(name, cin, planes, n):
+        for i in range(n):
+            conv(f"{name}.{i}.conv1", 27, cin if i == 0 else planes, planes)
+            bn(f"{name}.{i}.norm1", planes)
+            conv(f"{name}.{i}.conv2", 27, planes, planes)
+            bn(f"{name}.{i}.norm2", planes)
+            if i == 0 and cin != planes:
+                sd[f"{name}.0.downsample.0.kernel"] = rng.randn(
+                    1, cin, planes).astype(np.float32)
+                bn(f"{name}.0.downsample.1", planes)
+
+    L = cfg.layers
+    block("block1", D, P[0], L[0])
+    block("block2", P[0], P[1], L[1])
+    block("block3", P[1], P[2], L[2])
+    block("block4", P[2], P[3], L[3])
+    block("block5", P[4] + P[2], P[4], L[4])
+    block("block6", P[5] + P[1], P[5], L[5])
+    block("block7", P[6] + P[0], P[6], L[6])
+    block("block8", P[7] + D, P[7], L[7])
+    conv("final", 1, P[7], cfg.out_channels)
+    sd["final.kernel"] = sd["final.kernel"][0][None]  # [1, cin, cout]
+    sd["final.bias"] = rng.randn(cfg.out_channels).astype(np.float32)
+    return sd
+
+
+def test_convert_minkunet_structure():
+    from situation3d_tpu.sparse.minkunet import MinkUNet, build_unet_plan
+    from situation3d_tpu.sparse.tensor import SparseVoxels
+
+    cfg = SparseConfig(planes=(4, 8, 12, 16, 12, 12, 8, 8),
+                       layers=(1, 1, 1, 1, 1, 1, 1, 1), init_dim=4,
+                       in_channels=3, out_channels=8,
+                       capacities=(128, 64, 32, 16, 8))
+    sd = _fake_minkunet_sd(cfg)
+    params, stats = convert_minkunet(sd, cfg.layers, final_result=True)
+
+    rng = np.random.RandomState(1)
+    coords = np.zeros((1, 128, 3), np.int32)
+    coords[0, :60] = np.unique(rng.randint(0, 16, (90, 3)), axis=0)[:60]
+    mask = np.zeros((1, 128), bool); mask[0, :60] = True
+    feats = rng.rand(1, 128, 3).astype(np.float32) * mask[..., None]
+    model = MinkUNet(cfg, final_result=True)
+    plan = build_unet_plan(jnp.asarray(coords), jnp.asarray(mask), cfg.capacities)
+    x = SparseVoxels(coords=jnp.asarray(coords), feats=jnp.asarray(feats),
+                     mask=jnp.asarray(mask), stride=1)
+    ref = model.init(jax.random.PRNGKey(0), x, plan, train=False)
+    assert_same_structure_shapes(params, jax.tree_util.tree_map(np.asarray, ref["params"]))
+    assert_same_structure_shapes(stats, jax.tree_util.tree_map(np.asarray, ref["batch_stats"]))
+    # and the converted weights actually run
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, x, plan, train=False)
+    assert np.isfinite(np.asarray(out["openscene_out"].feats)).all()
+
+
+def _fake_mpnet_sd(cfg: LangConfig):
+    rng = np.random.RandomState(0)
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    sd = {
+        "embeddings.word_embeddings.weight": rng.randn(cfg.vocab_size, H),
+        "embeddings.position_embeddings.weight": rng.randn(cfg.max_position, H),
+        "embeddings.LayerNorm.weight": rng.rand(H),
+        "embeddings.LayerNorm.bias": rng.rand(H),
+        "encoder.relative_attention_bias.weight": rng.randn(
+            cfg.relative_attention_num_buckets, cfg.num_heads),
+    }
+    for i in range(cfg.num_layers):
+        b = f"encoder.layer.{i}"
+        for n, shape in [("attention.attn.q", (H, H)), ("attention.attn.k", (H, H)),
+                         ("attention.attn.v", (H, H)), ("attention.attn.o", (H, H)),
+                         ("intermediate.dense", (I, H)), ("output.dense", (H, I))]:
+            sd[f"{b}.{n}.weight"] = rng.randn(*shape)
+            sd[f"{b}.{n}.bias"] = rng.randn(shape[0])
+        for n in ("attention.LayerNorm", "output.LayerNorm"):
+            sd[f"{b}.{n}.weight"] = rng.rand(H)
+            sd[f"{b}.{n}.bias"] = rng.rand(H)
+    return {k: v.astype(np.float32) for k, v in sd.items()}
+
+
+def test_convert_mpnet_structure():
+    from situation3d_tpu.models.lang import MPNetEncoder
+    cfg = LangConfig(vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+                     intermediate_size=32, max_position=20)
+    sd = _fake_mpnet_sd(cfg)
+    params = convert_mpnet(sd, cfg.num_layers)
+    model = MPNetEncoder(cfg)
+    ids = jnp.asarray(np.random.RandomState(0).randint(2, 64, (2, 10)))
+    m = jnp.ones((2, 10), jnp.int32)
+    ref = model.init(jax.random.PRNGKey(0), ids, m)
+    assert_same_structure_shapes(params, jax.tree_util.tree_map(np.asarray, ref["params"]))
+    out = model.apply({"params": params}, ids, m)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _fake_t5_sd(cfg: T5Config, orig_vocab):
+    rng = np.random.RandomState(0)
+    d, dkv, dff, h = cfg.d_model, cfg.d_kv, cfg.d_ff, cfg.num_heads
+    inner = dkv * h
+    sd = {"shared.weight": rng.randn(orig_vocab, d),
+          "lm_head.weight": rng.randn(orig_vocab, d),
+          "encoder.final_layer_norm.weight": rng.rand(d),
+          "decoder.final_layer_norm.weight": rng.rand(d)}
+
+    def attn(b, rel=False):
+        for n in "qkv":
+            sd[f"{b}.{n}.weight"] = rng.randn(inner, d)
+        sd[f"{b}.o.weight"] = rng.randn(d, inner)
+        if rel:
+            sd[f"{b}.relative_attention_bias.weight"] = rng.randn(
+                cfg.relative_attention_num_buckets, h)
+
+    for i in range(cfg.num_layers):
+        b = f"encoder.block.{i}"
+        attn(f"{b}.layer.0.SelfAttention", rel=(i == 0))
+        sd[f"{b}.layer.0.layer_norm.weight"] = rng.rand(d)
+        sd[f"{b}.layer.1.DenseReluDense.wi_0.weight"] = rng.randn(dff, d)
+        sd[f"{b}.layer.1.DenseReluDense.wi_1.weight"] = rng.randn(dff, d)
+        sd[f"{b}.layer.1.DenseReluDense.wo.weight"] = rng.randn(d, dff)
+        sd[f"{b}.layer.1.layer_norm.weight"] = rng.rand(d)
+    for i in range(cfg.num_decoder_layers):
+        b = f"decoder.block.{i}"
+        attn(f"{b}.layer.0.SelfAttention", rel=(i == 0))
+        sd[f"{b}.layer.0.layer_norm.weight"] = rng.rand(d)
+        attn(f"{b}.layer.1.EncDecAttention")
+        sd[f"{b}.layer.1.layer_norm.weight"] = rng.rand(d)
+        sd[f"{b}.layer.2.DenseReluDense.wi_0.weight"] = rng.randn(dff, d)
+        sd[f"{b}.layer.2.DenseReluDense.wi_1.weight"] = rng.randn(dff, d)
+        sd[f"{b}.layer.2.DenseReluDense.wo.weight"] = rng.randn(d, dff)
+        sd[f"{b}.layer.2.layer_norm.weight"] = rng.rand(d)
+    return {k: v.astype(np.float32) for k, v in sd.items()}
+
+
+def test_convert_t5_structure_and_vocab_resize():
+    from situation3d_tpu.models.t5 import T5ForConditionalGeneration, shift_right
+    cfg = T5Config(vocab_size=96, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+                   num_decoder_layers=2, num_heads=4, max_answer_len=6)
+    sd = _fake_t5_sd(cfg, orig_vocab=80)
+    params = convert_t5(sd, cfg.num_layers, cfg.num_decoder_layers, 96)
+    assert params["shared"]["embedding"].shape == (96, 16)
+    # original rows preserved exactly
+    np.testing.assert_array_equal(params["shared"]["embedding"][:80],
+                                  sd["shared.weight"])
+    model = T5ForConditionalGeneration(cfg)
+    rng = np.random.RandomState(0)
+    embeds = jnp.asarray(rng.randn(1, 5, 16).astype(np.float32))
+    em = jnp.ones((1, 5), jnp.int32)
+    dec = jnp.asarray(rng.randint(0, 96, (1, 4)).astype(np.int32))
+    ref = model.init(jax.random.PRNGKey(0), embeds, em, dec, None)
+    assert_same_structure_shapes(params, jax.tree_util.tree_map(np.asarray, ref["params"]))
+    logits = model.apply({"params": params}, embeds, em, dec, None)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_convert_blip2_structure():
+    from situation3d_tpu.models.qformer import QFormer
+    cfg = QFormerConfig(num_query_tokens=4, hidden_size=16, num_layers=4,
+                        num_heads=2, intermediate_size=32, encoder_width=24,
+                        cross_attention_freq=2)
+    rng = np.random.RandomState(0)
+    H, I, W = 16, 32, 24
+    sd = {"query_tokens": rng.randn(1, 4, H).astype(np.float32),
+          "Qformer.bert.embeddings.LayerNorm.weight": rng.rand(H).astype(np.float32),
+          "Qformer.bert.embeddings.LayerNorm.bias": rng.rand(H).astype(np.float32),
+          "t5_proj.weight": rng.randn(8, H).astype(np.float32),
+          "t5_proj.bias": rng.randn(8).astype(np.float32)}
+    for i in range(4):
+        b = f"Qformer.bert.encoder.layer.{i}"
+        specs = [("attention", H)]
+        if i % 2 == 0:
+            specs.append(("crossattention", W))
+        for name, kvw in specs:
+            for n, shape in [("self.query", (H, H)), ("self.key", (H, kvw)),
+                             ("self.value", (H, kvw)), ("output.dense", (H, H))]:
+                sd[f"{b}.{name}.{n}.weight"] = rng.randn(*shape).astype(np.float32)
+                sd[f"{b}.{name}.{n}.bias"] = rng.randn(shape[0]).astype(np.float32)
+            sd[f"{b}.{name}.output.LayerNorm.weight"] = rng.rand(H).astype(np.float32)
+            sd[f"{b}.{name}.output.LayerNorm.bias"] = rng.rand(H).astype(np.float32)
+        sd[f"{b}.intermediate_query.dense.weight"] = rng.randn(I, H).astype(np.float32)
+        sd[f"{b}.intermediate_query.dense.bias"] = rng.randn(I).astype(np.float32)
+        sd[f"{b}.output_query.dense.weight"] = rng.randn(H, I).astype(np.float32)
+        sd[f"{b}.output_query.dense.bias"] = rng.randn(H).astype(np.float32)
+        sd[f"{b}.output_query.LayerNorm.weight"] = rng.rand(H).astype(np.float32)
+        sd[f"{b}.output_query.LayerNorm.bias"] = rng.rand(H).astype(np.float32)
+
+    qp = convert_qformer(sd, num_layers=4, cross_attention_freq=2)
+    model = QFormer(cfg)
+    enc = jnp.asarray(rng.randn(1, 6, W).astype(np.float32))
+    ref = model.init(jax.random.PRNGKey(0), enc, jnp.ones((1, 6), jnp.int32))
+    assert_same_structure_shapes(qp, jax.tree_util.tree_map(np.asarray, ref["params"]))
+    out = model.apply({"params": qp}, enc, jnp.ones((1, 6), jnp.int32))
+    assert np.isfinite(np.asarray(out)).all()
+
+    full = convert_blip2(sd, num_layers=4, cross_attention_freq=2)
+    assert full["t5_proj"]["kernel"].shape == (H, 8)
+    merged = merge_params({"a": {"b": 1, "c": 2}}, {"a": {"c": 3}})
+    assert merged == {"a": {"b": 1, "c": 3}}
