@@ -122,7 +122,10 @@ class SIG3D(nn.Module):
             x = SparseVoxels(coords=batch["voxel_coords"],
                              feats=batch["voxel_feats"].astype(self.dtype),
                              mask=batch["voxel_mask"], stride=1)
-            plan = build_unet_plan(x.coords, x.mask, cfg.sparse.capacities)
+            # precomputed host plan (sparse/host_plan.py) if the pipeline
+            # provides one; otherwise build on device
+            plan = batch.get("plan") or build_unet_plan(
+                x.coords, x.mask, cfg.sparse.capacities)
             enc_out = MinkUNet(cfg.sparse, final_result=False, dtype=self.dtype,
                                name="scene_encoder")(x, plan, train=False,
                                                      momentum=bn_momentum)
