@@ -245,6 +245,8 @@ def _coerce(value: Any, target_type: Any) -> Any:
         return target_type(value)
     origin = getattr(target_type, "__origin__", None)
     if origin in (tuple, Tuple):
+        if value is None:  # "key=" on the CLI means an empty tuple
+            return ()
         if isinstance(value, str):
             value = [v for v in value.strip("()[]").split(",") if v.strip()]
         args = getattr(target_type, "__args__", ())
