@@ -42,9 +42,18 @@ def main(argv=None) -> None:
 
     task = setup_task(args.task, cfg, synthetic=args.synthetic)
     datasets = task.build_datasets()
-    log_fn = lambda m, s: logger.info(  # noqa: E731
-        "step %d | %s", s, " ".join(f"{k}={v:.4f}" for k, v in m.items()
-                                    if isinstance(v, float)))
+
+    from situation3d_tpu.config import to_dict
+    from situation3d_tpu.train.logging import MetricWriter
+    writer = MetricWriter(cfg.log.log_dir, cfg.log.use_wandb,
+                          cfg.log.use_tensorboard, cfg.log.project,
+                          config=to_dict(cfg))
+
+    def log_fn(m, s):
+        writer.write(m, s)
+        logger.info("step %d | %s", s,
+                    " ".join(f"{k}={v:.4f}" for k, v in m.items()
+                             if isinstance(v, float)))
 
     if args.task == "sqa3d":
         from situation3d_tpu.data.sqa3d import batch_iterator

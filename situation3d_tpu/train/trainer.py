@@ -128,6 +128,9 @@ class Trainer:
         self.best_acc = -1.0
         self.log_fn = log_fn or (lambda m, s: None)
         self._timings: Dict[str, list] = {"fetch": [], "step": []}
+        from situation3d_tpu.train.logging import StepProfiler
+        self.profiler = StepProfiler(cfg.log.log_dir,
+                                     tuple(cfg.log.profile_steps))
 
     def fit(self, train_iter: Iterable, val_iter_fn=None,
             max_steps: Optional[int] = None):
@@ -140,6 +143,7 @@ class Trainer:
             t0 = time.perf_counter()
             self.state, metrics = self.train_step(self.state, batch)
             step += 1
+            self.profiler.maybe_toggle(step)
             if step % cfg.log_every_steps == 0:
                 jax.block_until_ready(metrics)
                 self._timings["step"].append(time.perf_counter() - t0)
