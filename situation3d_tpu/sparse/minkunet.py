@@ -23,6 +23,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from situation3d_tpu.config import SparseConfig
 from situation3d_tpu.sparse.conv import (
@@ -77,14 +78,21 @@ def build_unet_plan(
         )(prev["coords"], prev["mask"])
         levels.append({"coords": c, "mask": m})
 
+    # level 0 builds the k5 map once and slices the k3 map out of it (the 27
+    # offsets of kernel 3 are a subset of kernel 5's 125), saving a sort pass
+    k5_np = kernel_offsets(5)
+    k3_in_k5 = jnp.asarray(
+        [int(np.flatnonzero((k5_np == o).all(1))[0]) for o in kernel_offsets(3)])
     for i, lvl in enumerate(levels):
         s = STRIDES[i]
-        lvl["map_k3"] = jax.vmap(
-            lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, k3, s, s)
-        )(lvl["coords"], lvl["mask"], lvl["coords"], lvl["mask"])
         if i == 0:
             lvl["map_k5"] = jax.vmap(
                 lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, k5, s, s)
+            )(lvl["coords"], lvl["mask"], lvl["coords"], lvl["mask"])
+            lvl["map_k3"] = lvl["map_k5"][:, :, k3_in_k5]
+        else:
+            lvl["map_k3"] = jax.vmap(
+                lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, k3, s, s)
             )(lvl["coords"], lvl["mask"], lvl["coords"], lvl["mask"])
         if i > 0:
             fine = levels[i - 1]
