@@ -90,3 +90,17 @@ def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int = 1000
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
     return tx, schedule
+
+
+def bn_momentum_schedule(cfg: TrainConfig, epoch: int) -> float:
+    """BN momentum decay (lib/solver.py:249-257 BNMomentumScheduler /
+    pytorch_utils.BNMomentumScheduler): momentum = init * decay^(epoch//step),
+    floored at 0.01. Returned value feeds SparseBatchNorm's per-call
+    ``momentum`` override (our BN stores the running-average weight, i.e.
+    1 - torch_momentum)."""
+    torch_momentum = max(
+        cfg.bn_momentum_init
+        * cfg.bn_momentum_decay ** (epoch // max(cfg.bn_momentum_step, 1)),
+        0.01,
+    )
+    return 1.0 - torch_momentum
