@@ -76,6 +76,7 @@ class ModelConfig:
     pos_sigma: float = 0.16            # Gaussian loc-gt sigma (sqa_module.py:330)
     use_situation: bool = True         # CONF.TRAIN.USE_SITUATION
     predict_situation: bool = True     # CONF.TRAIN.PREDICT_SITUATION
+    situated_reencode: bool = False    # rotate scene tokens into agent frame
     no_3d: bool = False                # CONF.TRAIN.NO3D
     dtype: str = "bfloat16"            # activation dtype on TPU
 

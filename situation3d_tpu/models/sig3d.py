@@ -140,9 +140,32 @@ class SIG3D(nn.Module):
             out["scene_positions"] = positions
             out["att_feat_pre"] = tok_feats
 
+            pe_positions = positions
+            if mc.situated_reencode:
+                # situated re-encoding: express token positions in the
+                # agent's frame (translate to the GT situation position and
+                # rotate by the inverse z-heading) before the positional
+                # embedding, so fusion sees an egocentric layout. GT pose is
+                # used at train time like the Gaussian loc targets; at
+                # inference callers may substitute a predicted pose.
+                gt = batch["auxiliary_task"]
+                rel = positions - gt[:, None, :2]
+                if "__quat__" in tag:
+                    qz, qw = gt[:, 5], gt[:, 6]
+                    yaw = 2.0 * jnp.arctan2(qz, jnp.maximum(jnp.abs(qw), 1e-8)) \
+                        * jnp.sign(qw + (qw == 0))
+                elif "__angle__" in tag:
+                    yaw = jnp.arctan2(gt[:, 3], gt[:, 4])
+                else:  # __6d__: first rotation-matrix row is [cos, -sin, *]
+                    yaw = jnp.arctan2(-gt[:, 4], gt[:, 3])
+                c, s = jnp.cos(-yaw)[:, None], jnp.sin(-yaw)[:, None]
+                pe_positions = jnp.stack(
+                    [rel[..., 0] * c - rel[..., 1] * s,
+                     rel[..., 0] * s + rel[..., 1] * c], axis=-1)
+
             # situational position embedding of the 2D coords
             pe = nn.Dense(128, dtype=self.dtype, name="pos_embed_fc1")(
-                positions.astype(self.dtype))
+                pe_positions.astype(self.dtype))
             pe = nn.gelu(pe, approximate=False)
             pe = nn.Dense(mc.scene_feat_dim, dtype=self.dtype, name="pos_embed_fc2")(pe)
             scene_feat = tok_feats + pe

@@ -174,6 +174,7 @@ class Trainer:
         sit_agg: Dict[str, list] = {}
         key = jax.random.PRNGKey(self.cfg.train.seed + 7)
         n = 0
+        breakdown: Dict[str, np.ndarray] = {}
         for batch in val_iter:
             batch = shard_batch(batch, self.mesh)
             key, sub = jax.random.split(key)
@@ -182,6 +183,9 @@ class Trainer:
             for k, v in metrics.items():
                 if jnp.ndim(v) == 0:
                     agg.setdefault(k, []).append((float(v), bs))
+                elif k.startswith("answer_acc_breakdown_"):
+                    pair = np.asarray(v)  # (correct, count)
+                    breakdown[k] = breakdown.get(k, 0) + pair
             if "aux_scores" in keep:
                 sit = situation_metrics(
                     jax.tree_util.tree_map(np.asarray, keep),
@@ -196,5 +200,7 @@ class Trainer:
         for k, pairs in {**agg, **sit_agg}.items():
             tot = sum(w for _, w in pairs)
             out[k] = sum(v * w for v, w in pairs) / max(tot, 1)
+        for k, pair in breakdown.items():
+            out[k] = float(pair[0]) / max(float(pair[1]), 1.0)
         out["num_samples"] = n
         return out

@@ -193,3 +193,19 @@ def test_situation_metrics():
     assert m2["situation_acc_1_0m"] == 0.0
     assert m2["situation_acc_15deg"] == 0.0
     assert m2["situation_acc_30deg"] == 0.0
+
+
+def test_situated_reencode_forward(model_setup):
+    """situated_reencode=True changes outputs but keeps them finite."""
+    import dataclasses
+    cfg = model_setup["cfg"]
+    cfg2 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, situated_reencode=True))
+    model2 = SIG3D(cfg2, num_answers=cfg.data.num_answers)
+    out = model2.apply(model_setup["variables"], model_setup["batch"],
+                       train=False, rngs={"sample": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(out["answer_scores"])).all()
+    base = model_setup["forward"](model_setup["variables"],
+                                  model_setup["batch"], jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(out["answer_scores"]),
+                           np.asarray(base["answer_scores"]))
