@@ -54,6 +54,12 @@ class SparseConfig:
     # fixed per-stride voxel capacities (stride 1,2,4,8,16) for static shapes
     capacities: Tuple[int, ...] = (49152, 24576, 12288, 6144, 3072)
     kernel_volume: int = 27            # 3x3x3
+    # device plan builder: dense-grid neighbor lookup (one scatter per level
+    # + O(1) gathers per query) vs sort-based search. The grid covers
+    # [0, extent) stride-1 voxels (10.2 x 10.2 x 5.1 m at 0.02 m); scenes
+    # beyond it fall back to the sort path via dense_lookup=False.
+    dense_lookup: bool = True
+    grid_extent: Tuple[int, ...] = (512, 512, 256)
 
 
 @dataclass

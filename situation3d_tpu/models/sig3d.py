@@ -125,7 +125,8 @@ class SIG3D(nn.Module):
             # precomputed host plan (sparse/host_plan.py) if the pipeline
             # provides one; otherwise build on device
             plan = batch.get("plan") or build_unet_plan(
-                x.coords, x.mask, cfg.sparse.capacities)
+                x.coords, x.mask, cfg.sparse.capacities,
+                cfg.sparse.dense_lookup, cfg.sparse.grid_extent)
             enc_out = MinkUNet(cfg.sparse, final_result=False, dtype=self.dtype,
                                name="scene_encoder")(x, plan, train=False,
                                                      momentum=bn_momentum)

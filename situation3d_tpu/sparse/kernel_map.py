@@ -107,6 +107,60 @@ def build_kernel_map(
     return _lookup(sorted_keys, sorted_idx, qkeys, valid, v_in)
 
 
+@partial(jax.jit, static_argnames=("in_stride", "extent"))
+def build_level_grid(
+    in_coords: jnp.ndarray,
+    in_mask: jnp.ndarray,
+    in_stride: int,
+    extent: Tuple[int, int, int],
+) -> jnp.ndarray:
+    """Dense index grid for one level, one sample: grid[flat(c // stride)]
+    = voxel row id, miss sentinel V_in elsewhere.
+
+    The O(1)-probe alternative to the sorted-key tables: one scatter per
+    level, then every kernel-map query is a single gather
+    (:func:`lookup_kernel_map_dense`). Grid memory is transient
+    (~extent/stride^3 x 4 B) and shared by all maps touching the level.
+    """
+    v_in = in_coords.shape[0]
+    dx, dy, dz = (e // in_stride for e in extent)
+    c = in_coords // in_stride
+    in_extent = ((c[:, 0] < dx) & (c[:, 1] < dy) & (c[:, 2] < dz)
+                 & jnp.all(c >= 0, axis=-1))
+    flat = (c[:, 0] * dy + c[:, 1]) * dz + c[:, 2]
+    total = dx * dy * dz
+    write = jnp.where(in_mask & in_extent, flat, total)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (v_in, 1), 0).squeeze(-1)
+    grid = jnp.full((total,), jnp.int32(v_in))
+    return grid.at[write].set(idx, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("in_stride", "offset_stride", "extent"))
+def lookup_kernel_map_dense(
+    grid: jnp.ndarray,
+    v_in: int,
+    out_coords: jnp.ndarray,
+    out_mask: jnp.ndarray,
+    offsets: jnp.ndarray,
+    in_stride: int,
+    offset_stride: int,
+    extent: Tuple[int, int, int],
+) -> jnp.ndarray:
+    """Kernel map via dense-grid gathers (same semantics as
+    :func:`build_kernel_map`)."""
+    dx, dy, dz = (e // in_stride for e in extent)
+    q = out_coords[:, None, :] + offsets[None, :, :] * offset_stride
+    divisible = jnp.all(q % in_stride == 0, axis=-1)
+    qc = q // in_stride
+    in_range = ((qc[..., 0] >= 0) & (qc[..., 0] < dx)
+                & (qc[..., 1] >= 0) & (qc[..., 1] < dy)
+                & (qc[..., 2] >= 0) & (qc[..., 2] < dz))
+    valid = divisible & in_range & out_mask[:, None]
+    qflat = (qc[..., 0] * dy + qc[..., 1]) * dz + qc[..., 2]
+    qflat = jnp.clip(qflat, 0, grid.shape[0] - 1)
+    return jnp.where(valid, grid[qflat], v_in).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("factor", "capacity"))
 def downsample_coords(
     coords: jnp.ndarray,

@@ -46,6 +46,8 @@ def build_unet_plan(
     coords: jnp.ndarray,
     mask: jnp.ndarray,
     capacities: Sequence[int],
+    dense_lookup: bool = True,
+    extent: Sequence[int] = (512, 512, 256),
 ) -> Dict[str, Any]:
     """Build all coordinate sets and kernel maps for the UNet, batched.
 
@@ -79,34 +81,55 @@ def build_unet_plan(
         levels.append({"coords": c, "mask": m})
 
     # level 0 builds the k5 map once and slices the k3 map out of it (the 27
-    # offsets of kernel 3 are a subset of kernel 5's 125), saving a sort pass
+    # offsets of kernel 3 are a subset of kernel 5's 125), saving a pass
     k5_np = kernel_offsets(5)
     k3_in_k5 = jnp.asarray(
         [int(np.flatnonzero((k5_np == o).all(1))[0]) for o in kernel_offsets(3)])
+    extent = tuple(extent)
+
+    if dense_lookup:
+        # O(1)-probe path: one dense index grid per level (scatter), every
+        # map a single gather (kernel_map.build_level_grid)
+        from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                       lookup_kernel_map_dense)
+        grids = []
+        for i, lvl in enumerate(levels):
+            grids.append(jax.vmap(
+                lambda c, m, s=STRIDES[i]: build_level_grid(c, m, s, extent)
+            )(lvl["coords"], lvl["mask"]))
+
+        def lookup(level_i, out_coords, out_mask, offsets, offset_stride):
+            s = STRIDES[level_i]
+            v_in = levels[level_i]["coords"].shape[1]
+            return jax.vmap(
+                lambda g, oc, om: lookup_kernel_map_dense(
+                    g, v_in, oc, om, offsets, s, offset_stride, extent)
+            )(grids[level_i], out_coords, out_mask)
+    else:
+        def lookup(level_i, out_coords, out_mask, offsets, offset_stride):
+            s = STRIDES[level_i]
+            lvl = levels[level_i]
+            return jax.vmap(
+                lambda ic, im, oc, om: build_kernel_map(
+                    ic, im, oc, om, offsets, s, offset_stride)
+            )(lvl["coords"], lvl["mask"], out_coords, out_mask)
+
     for i, lvl in enumerate(levels):
         s = STRIDES[i]
         if i == 0:
-            lvl["map_k5"] = jax.vmap(
-                lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, k5, s, s)
-            )(lvl["coords"], lvl["mask"], lvl["coords"], lvl["mask"])
+            lvl["map_k5"] = lookup(0, lvl["coords"], lvl["mask"], k5, s)
             lvl["map_k3"] = lvl["map_k5"][:, :, k3_in_k5]
         else:
-            lvl["map_k3"] = jax.vmap(
-                lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, k3, s, s)
-            )(lvl["coords"], lvl["mask"], lvl["coords"], lvl["mask"])
+            lvl["map_k3"] = lookup(i, lvl["coords"], lvl["mask"], k3, s)
         if i > 0:
             fine = levels[i - 1]
             sf = STRIDES[i - 1]
-            # strided conv: query fine table from coarse coords, offsets in
-            # units of the (fine) input stride
-            lvl["map_down"] = jax.vmap(
-                lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, k2, sf, sf)
-            )(fine["coords"], fine["mask"], lvl["coords"], lvl["mask"])
-            # transpose conv back up: query coarse table from fine coords
-            # with mirrored offsets; divisibility check inside handles parity
-            fine["map_up"] = jax.vmap(
-                lambda ic, im, oc, om: build_kernel_map(ic, im, oc, om, -k2, s, sf)
-            )(lvl["coords"], lvl["mask"], fine["coords"], fine["mask"])
+            # strided conv: query the fine level from coarse coords, offsets
+            # in units of the (fine) input stride
+            lvl["map_down"] = lookup(i - 1, lvl["coords"], lvl["mask"], k2, sf)
+            # transpose conv back up: query the coarse level from fine coords
+            # with mirrored offsets; divisibility handles parity
+            fine["map_up"] = lookup(i, fine["coords"], fine["mask"], -k2, sf)
     return {"levels": levels}
 
 

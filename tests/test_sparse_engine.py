@@ -252,3 +252,24 @@ def test_minkunet_train_mode_updates_stats(unet_setup):
     before = variables["batch_stats"]["bn0"]["mean"]
     after = updates["batch_stats"]["bn0"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_dense_lookup_matches_sort_path(rng):
+    """Dense-grid plan must produce identical maps to the sort-based plan."""
+    caps = (256, 256, 128, 64, 32)
+    B = 2
+    coords = np.zeros((B, caps[0], 3), np.int32)
+    mask = np.zeros((B, caps[0]), bool)
+    for b in range(B):
+        c = np.unique(rng.randint(0, 28, (260, 3)), axis=0)[:200]
+        coords[b, :len(c)], mask[b, :len(c)] = c, True
+    cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+    dense = jax.jit(lambda c, m: build_unet_plan(
+        c, m, caps, dense_lookup=True, extent=(64, 64, 64)))(cj, mj)
+    sort = jax.jit(lambda c, m: build_unet_plan(
+        c, m, caps, dense_lookup=False))(cj, mj)
+    for i in range(5):
+        for key in dense["levels"][i]:
+            np.testing.assert_array_equal(
+                np.asarray(dense["levels"][i][key]),
+                np.asarray(sort["levels"][i][key]), err_msg=f"level{i}/{key}")
