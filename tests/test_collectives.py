@@ -34,9 +34,13 @@ def test_shard_map_collectives(rng):
     np.testing.assert_allclose(np.asarray(g(x)),
                                np.tile(np.asarray(x).sum(0), (8, 1)), rtol=1e-6)
 
-    h = shard_map(lambda v: all_gather(v, "data", tiled=True), mesh=mesh,
-                  in_specs=P("data"), out_specs=P(None, None))
-    np.testing.assert_allclose(np.asarray(h(x)), np.asarray(x), rtol=1e-6)
+    # gathered result is replicated; keep the leading axis sharded in the
+    # out_specs so shard_map's replication checker is satisfied
+    h = shard_map(lambda v: all_gather(v, "data", tiled=True)[None], mesh=mesh,
+                  in_specs=P("data"), out_specs=P("data", None, None))
+    out = np.asarray(h(x))  # [8 shards, 8, 4], every shard the full batch
+    for s in range(8):
+        np.testing.assert_allclose(out[s], np.asarray(x), rtol=1e-6)
 
     r = shard_map(lambda v: ppermute_ring(v, "data", 1), mesh=mesh,
                   in_specs=P("data"), out_specs=P("data"))
