@@ -44,7 +44,11 @@ def sparse_conv_apply(
     K = kernel.shape[0]
     V_out = nbr_idx.shape[1]
     if offset_chunk is None:
-        offset_chunk = max(1, min(K, -(-256 // max(C_in, 1))))
+        # measured on v5e: per-offset (chunk=1) avoids the cross-lane
+        # relayout of merging K into the channel dim and wins whenever the
+        # op is gather-bound (all our conv shapes); the MXU under-utilization
+        # at small C_in is irrelevant there
+        offset_chunk = 1
     padded = jnp.concatenate([feats, jnp.zeros((B, 1, C_in), feats.dtype)], axis=1)
 
     out = jnp.zeros((B, V_out, kernel.shape[-1]), jnp.float32)
