@@ -56,6 +56,28 @@ def main(argv=None) -> None:
             task.clean_batch(b) for b in batch_iterator(
                 ds, cfg.eval.batch_size, shuffle=False, drop_last=False))
         logger.info("eval[%s]: %s", args.split, metrics)
+        if args.visualize:
+            # export the first batch's scenes with predicted situations
+            # (eval.py:302-314 open3d rendering -> PLY/OBJ files here)
+            import jax
+            import numpy as np
+            from situation3d_tpu.eval.visualization import (
+                export_scene_visualization)
+            batch = task.clean_batch(next(batch_iterator(
+                ds, cfg.eval.batch_size, shuffle=False)))
+            _, keep = trainer.eval_step(
+                trainer.state,
+                jax.tree_util.tree_map(np.asarray, batch),
+                jax.random.PRNGKey(0))
+            aux = np.asarray(keep["aux_scores"])
+            for i in range(min(4, len(aux))):
+                pts = np.asarray(batch["voxel_coords"][i], np.float32) \
+                    * cfg.data.voxel_size
+                export_scene_visualization(
+                    args.output, f"scene{i}", pts,
+                    gt_pose=np.asarray(batch["auxiliary_task"][i]),
+                    pred_pose=aux[i] if aux.ndim == 2 else None)
+            logger.info("visualizations written to %s", args.output)
         with open(os.path.join(args.output, "metrics.json"), "w") as fh:
             json.dump({k: float(v) for k, v in metrics.items()}, fh, indent=2)
     else:

@@ -63,8 +63,7 @@ def main(argv=None) -> None:
                                 "label_mask": jnp.ones((1, 4), jnp.int32)})
         # TODO(ckpt): load converted reference weights when --checkpoint given
         tokens = predict_answers(model, variables, batch,
-                                 max_len=cfg.t5.max_answer_len
-                                 if hasattr(cfg, "t5") else 50)
+                                 max_len=cfg.blip2.t5.max_answer_len)
         print("Q:", clean_question(args.question))
         print("A:", ds.text.decode(np.asarray(tokens)[0]))
     else:
