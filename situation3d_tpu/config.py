@@ -60,6 +60,11 @@ class SparseConfig:
     # beyond it fall back to the sort path via dense_lookup=False.
     dense_lookup: bool = True
     grid_extent: Tuple[int, ...] = (512, 512, 256)
+    # same-stride k3 convs at strides >= this run as dense XLA conv3d over
+    # the (small) coarse grid instead of per-offset gathers. Off by default:
+    # measured slower than the gather path on v5e (5.39 -> 4.35 samples/s);
+    # kept as an option for hardware where conv3d wins.
+    dense_conv_min_stride: int = 0
 
 
 @dataclass

@@ -273,3 +273,50 @@ def test_dense_lookup_matches_sort_path(rng):
             np.testing.assert_array_equal(
                 np.asarray(dense["levels"][i][key]),
                 np.asarray(sort["levels"][i][key]), err_msg=f"level{i}/{key}")
+
+
+def test_dense_conv_matches_gather_conv(rng):
+    """sparse_conv_dense_grid == sparse_conv_apply on the same map."""
+    from situation3d_tpu.sparse.conv import (sparse_conv_apply,
+                                             sparse_conv_dense_grid)
+    V, Cin, Cout, stride = 96, 8, 16, 4
+    extent = (64, 64, 64)
+    coords, mask = make_sparse(rng, 60, span=16, cap=V)
+    coords = coords * stride
+    feats = np.zeros((V, Cin), np.float32)
+    feats[:60] = rng.randn(60, Cin)
+    kern = rng.randn(27, Cin, Cout).astype(np.float32)
+    k3 = jnp.asarray(kernel_offsets(3))
+    nbr = build_kernel_map(jnp.asarray(coords), jnp.asarray(mask),
+                           jnp.asarray(coords), jnp.asarray(mask), k3,
+                           stride, stride)
+    want = np.asarray(sparse_conv_apply(
+        jnp.asarray(feats)[None], nbr[None], jnp.asarray(kern),
+        precision=jax.lax.Precision.HIGHEST))
+    got = np.asarray(sparse_conv_dense_grid(
+        jnp.asarray(feats)[None], jnp.asarray(coords)[None],
+        jnp.asarray(mask)[None], stride, jnp.asarray(kern), extent))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_minkunet_dense_conv_path(rng, tiny_unet):
+    """UNet with dense_conv_min_stride on matches the gather-only UNet."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_unet, dense_conv_min_stride=4,
+                              grid_extent=(64, 64, 64))
+    cfg_off = dataclasses.replace(tiny_unet, dense_conv_min_stride=0,
+                                  grid_extent=(64, 64, 64))
+    coords, mask, feats = _unet_inputs(rng, cfg)
+    plan = jax.jit(lambda c, m: build_unet_plan(
+        c, m, cfg.capacities, True, cfg.grid_extent))(coords, mask)
+    x = SparseVoxels(coords=coords, feats=feats, mask=mask, stride=1)
+    m_on = MinkUNet(cfg, final_result=False)
+    m_off = MinkUNet(cfg_off, final_result=False)
+    vs = jax.jit(lambda p: m_on.init(jax.random.PRNGKey(0), x, p,
+                                     train=False))(plan)
+    out_on = jax.jit(lambda v, p: m_on.apply(v, x, p, train=False)
+                     ["feat_bottleneck"].feats)(vs, plan)
+    out_off = jax.jit(lambda v, p: m_off.apply(v, x, p, train=False)
+                      ["feat_bottleneck"].feats)(vs, plan)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=5e-3, atol=5e-3)
