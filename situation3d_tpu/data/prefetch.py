@@ -70,3 +70,30 @@ def make_train_pipeline(dataset, batch_size: int, capacities=None,
     if capacities is not None:
         it = attach_host_plans(it, capacities)
     return ThreadPrefetcher(it, prefetch_depth)
+
+
+class MultiIterLoader:
+    """Ratio-weighted sampling from several infinite iterators
+    (``dataloader_utils.MultiIterLoader:15-60``) — the joint
+    SQA3D+ScanQA training mix (BASELINE config 5)."""
+
+    def __init__(self, loaders, ratios=None, seed: int = 0):
+        self.loaders = [iter(l) for l in loaders]
+        n = len(loaders)
+        ratios = list(ratios) if ratios is not None else [1.0] * n
+        total = sum(ratios)
+        self.probs = [r / total for r in ratios]
+        self.rng = np.random.RandomState(seed)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        i = self.rng.choice(len(self.loaders), p=self.probs)
+        return next(self.loaders[i])
+
+
+def repeat_iterator(make_iter: Callable[[], Iterable]):
+    """Infinite restartable iterator (dataloader_utils.IterLoader)."""
+    while True:
+        yield from make_iter()

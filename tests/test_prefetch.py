@@ -51,3 +51,50 @@ def test_make_train_pipeline(rng):
     assert len(batches) == 2
     assert "plan" in batches[0]
     assert batches[0]["voxel_coords"].shape == (2, 512, 3)
+
+
+def test_multi_iter_loader_ratios():
+    from situation3d_tpu.data.prefetch import MultiIterLoader, repeat_iterator
+
+    a = repeat_iterator(lambda: iter(["a"]))
+    b = repeat_iterator(lambda: iter(["b"]))
+    loader = MultiIterLoader([a, b], ratios=[3, 1], seed=0)
+    draws = [next(loader) for _ in range(400)]
+    frac_a = draws.count("a") / len(draws)
+    assert 0.65 < frac_a < 0.85  # ~0.75
+
+
+def test_contrastive_losses(rng):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from situation3d_tpu.config import MeshConfig
+    from situation3d_tpu.parallel.mesh import make_mesh
+    from situation3d_tpu.train.contrastive import itc_loss, itm_loss, lm_loss
+
+    # aligned pairs get lower loss than shuffled pairs
+    feats = rng.randn(8, 16).astype(np.float32)
+    img = jnp.asarray(feats)
+    txt = jnp.asarray(feats + rng.randn(8, 16).astype(np.float32) * 0.05)
+    t = jnp.asarray(0.07)
+    good = float(itc_loss(img, txt, t))
+    bad = float(itc_loss(img, jnp.asarray(np.roll(feats, 3, 0)), t))
+    assert good < bad
+
+    # cross-device negatives: global loss over the mesh == single-device
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    f = shard_map(
+        lambda i, x: jax.lax.pmean(itc_loss(i, x, t, axis="data"), "data"),
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
+        check_rep=False)
+    dist = float(jax.jit(f)(img[:, None, :], txt))
+    single = float(itc_loss(img[:, None, :], txt, t))
+    np.testing.assert_allclose(dist, single, rtol=1e-5)
+
+    logits = jnp.asarray(rng.randn(4, 2).astype(np.float32))
+    assert float(itm_loss(logits, jnp.asarray([0, 1, 0, 1]))) > 0
+    lm = lm_loss(jnp.asarray(rng.randn(2, 5, 11).astype(np.float32)),
+                 jnp.asarray(rng.randint(0, 11, (2, 5))),
+                 jnp.ones((2, 5)))
+    assert float(lm) > 0
