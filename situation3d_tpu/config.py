@@ -197,6 +197,8 @@ class T5Config:
     max_input_len: int = 480           # 32 query + <=400 prompt padded
     max_answer_len: int = 50
     tie_word_embeddings: bool = False
+    remat: bool = False                # jax.checkpoint each block (training
+                                       # memory <-> recompute trade)
 
 
 @dataclass

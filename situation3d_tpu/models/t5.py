@@ -195,8 +195,10 @@ class T5Encoder(nn.Module):
     def __call__(self, inputs_embeds, mask):
         x = inputs_embeds.astype(self.dtype)
         position_bias = None
+        block_cls = (nn.remat(T5EncoderBlock, static_argnums=())
+                     if self.cfg.remat else T5EncoderBlock)
         for i in range(self.cfg.num_layers):
-            x, position_bias = T5EncoderBlock(
+            x, position_bias = block_cls(
                 self.cfg, has_relative_bias=(i == 0), dtype=self.dtype,
                 name=f"block{i}")(x, mask, position_bias)
         return T5LayerNorm(self.cfg.layer_norm_epsilon, self.dtype,
@@ -211,8 +213,11 @@ class T5Decoder(nn.Module):
     def __call__(self, dec_embeds, enc, enc_mask, dec_mask=None, decode=False):
         x = dec_embeds.astype(self.dtype)
         position_bias = None
+        # remat only in training (the decode cache is mutable state)
+        block_cls = (nn.remat(T5DecoderBlock, static_argnums=(6,))
+                     if self.cfg.remat and not decode else T5DecoderBlock)
         for i in range(self.cfg.num_decoder_layers):
-            x, position_bias = T5DecoderBlock(
+            x, position_bias = block_cls(
                 self.cfg, has_relative_bias=(i == 0), dtype=self.dtype,
                 name=f"block{i}")(x, enc, enc_mask, dec_mask, position_bias,
                                   decode)

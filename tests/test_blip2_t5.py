@@ -161,3 +161,28 @@ def test_blip2_predict_answers(blip2_setup):
     assert out.dtype == jnp.int32
     cfg = blip2_setup["cfg"]
     assert (np.asarray(out) < cfg.t5.vocab_size).all()
+
+
+def test_t5_remat_matches(rng):
+    """remat=True must not change values or gradients."""
+    import dataclasses
+    cfg = tiny_t5()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    B, Le, Ld = 1, 6, 4
+    embeds = jnp.asarray(rng.randn(B, Le, cfg.d_model).astype(np.float32))
+    enc_mask = jnp.ones((B, Le), jnp.int32)
+    dec = jnp.asarray(rng.randint(2, cfg.vocab_size, (B, Ld)).astype(np.int32))
+    m = T5ForConditionalGeneration(cfg)
+    mr = T5ForConditionalGeneration(cfg_r)
+    vs = m.init(jax.random.PRNGKey(0), embeds, enc_mask, dec, None)
+
+    def loss(model, params):
+        lg = model.apply({"params": params}, embeds, enc_mask, dec, None)
+        return jnp.sum(lg ** 2) * 1e-4
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m, p))(vs["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(mr, p))(vs["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
