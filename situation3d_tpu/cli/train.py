@@ -52,7 +52,7 @@ def main(argv=None) -> None:
     def log_fn(m, s):
         writer.write(m, s)
         logger.info("step %d | %s", s,
-                    " ".join(f"{k}={v:.4f}" for k, v in m.items()
+                    " ".join(f"{k}={v:.4g}" for k, v in m.items()
                              if isinstance(v, float)))
 
     if args.task == "sqa3d":
