@@ -66,9 +66,14 @@ def main(argv=None) -> None:
         model = task.build_model()
         steps_per_epoch = max(len(datasets["train"]) // bs, 1)
         trainer = task.build_trainer(model, example, steps_per_epoch, log_fn)
+        def val_clean(b):
+            # keep question_id for best-prediction CSV export
+            return {k: v for k, v in b.items()
+                    if k not in ("answer_cat", "answer_cats")}
+
         trainer.fit(
             train_iter,
-            val_iter_fn=lambda: (task.clean_batch(b) for b in batch_iterator(
+            val_iter_fn=lambda: (val_clean(b) for b in batch_iterator(
                 datasets["val"], bs, shuffle=False, drop_last=False)),
             max_steps=args.max_steps)
         metrics = trainer.evaluate(

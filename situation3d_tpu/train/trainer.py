@@ -154,13 +154,23 @@ class Trainer:
                 host["lr"] = float(self.schedule(step))
                 self.log_fn(host, step)
             if val_iter_fn is not None and step % cfg.val_every_steps == 0:
-                val_metrics = self.evaluate(val_iter_fn())
+                val_metrics = self.evaluate(val_iter_fn(), collect_preds=True)
                 self.log_fn({f"val/{k}": v for k, v in val_metrics.items()}, step)
                 acc = val_metrics.get("answer_acc_at1", 0.0)
                 if acc > self.best_acc:
                     self.best_acc = acc
                     self.ckpt.save(step, self.state,
                                    {"answer_acc_at1": float(acc)})
+                    # best_val_pred_answers.csv parity (solver.py:457-494)
+                    if getattr(self, "last_predictions", None):
+                        import csv
+                        import os
+                        path = os.path.join(self.cfg.train.ckpt_dir,
+                                            "best_val_pred_answers.csv")
+                        with open(path, "w", newline="") as fh:
+                            w = csv.writer(fh)
+                            w.writerow(["question_id", "pred_answer_id"])
+                            w.writerows(self.last_predictions)
             if max_steps is not None and step >= max_steps:
                 break
             t_fetch = time.perf_counter()
@@ -168,17 +178,28 @@ class Trainer:
         self.ckpt.wait()
         return self.state
 
-    def evaluate(self, val_iter: Iterable) -> Dict[str, float]:
+    def evaluate(self, val_iter: Iterable,
+                 collect_preds: bool = False) -> Dict[str, float]:
         tag = self.cfg.model.situation_loss_tag
         agg: Dict[str, list] = {}
         sit_agg: Dict[str, list] = {}
         key = jax.random.PRNGKey(self.cfg.train.seed + 7)
         n = 0
         breakdown: Dict[str, np.ndarray] = {}
+        self.last_predictions: list = []
         for batch in val_iter:
+            batch = dict(batch)
+            qids = batch.pop("question_id", None)
             batch = shard_batch(batch, self.mesh)
             key, sub = jax.random.split(key)
             metrics, keep = self.eval_step(self.state, batch, sub)
+            if collect_preds and qids is not None:
+                pred = np.asarray(jnp.argmax(keep["answer_scores"], axis=-1))
+                valid = np.asarray(batch.get(
+                    "sample_valid", jnp.ones(len(pred), bool)))
+                self.last_predictions.extend(
+                    (int(q), int(p)) for q, p, v in
+                    zip(np.asarray(qids), pred, valid) if v)
             bs = batch["answer_cat_scores"].shape[0]
             for k, v in metrics.items():
                 if jnp.ndim(v) == 0:
