@@ -56,8 +56,20 @@ def main(argv=None) -> None:
                              if isinstance(v, float)))
 
     if args.task == "sqa3d":
+        import json
+
         from situation3d_tpu.data.sqa3d import batch_iterator
         bs = cfg.train.batch_size
+        # answer_vocab.json / info.json parity (train.py:315-333)
+        vocab = getattr(datasets["train"], "vocab", None)
+        if vocab is not None:
+            with open(os.path.join(args.output, "answer_vocab.json"), "w") as fh:
+                json.dump(vocab.itos_list, fh)
+        with open(os.path.join(args.output, "info.json"), "w") as fh:
+            json.dump({"task": args.task,
+                       "num_train": len(datasets["train"]),
+                       "num_val": len(datasets["val"]),
+                       "num_answers": cfg.data.num_answers}, fh, indent=2)
         train_iter = (task.clean_batch(b) for b in batch_iterator(
             datasets["train"], bs, seed=cfg.train.seed,
             epochs=cfg.train.epochs))
