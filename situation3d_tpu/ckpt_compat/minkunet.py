@@ -7,9 +7,15 @@ loaded strict=True at ``train.py:278-279``; ME module names from
 MinkowskiEngine stores conv kernels as ``[kernel_volume, C_in, C_out]`` —
 the same layout as sparse/conv.py — but enumerates hypercube offsets with
 the FIRST coordinate fastest, while kernel_map.kernel_offsets enumerates
-x slowest (itertools.product). ``reorder_kernel`` permutes between the two;
-flip ``me_x_fastest`` if a checkpoint turns out to use the other order
-(validated against reference activations once real weights are present).
+x slowest (itertools.product). Evidence for x-fastest: ME 0.5's
+``kernel_region::coordinate_at`` decodes a kernel index with
+``coord[axis] = lower[axis] + (ind % size) * dilation; ind /= size``
+iterating axis 0 first, i.e. the first spatial axis is the fastest-varying
+digit. ``reorder_kernel`` permutes between the two; ``me_x_fastest=False``
+selects the product order if a checkpoint disagrees, and
+:func:`detect_me_order` estimates the order from a *trained* kernel's
+spatial smoothness (adjacent offsets of a trained conv correlate) as a
+load-time sanity check.
 """
 from __future__ import annotations
 
@@ -20,20 +26,58 @@ import numpy as np
 from situation3d_tpu.ckpt_compat.common import strip_prefix
 
 
+def me_offset_permutation(kernel_size: int) -> np.ndarray:
+    """perm[i] = ME flat index of our canonical (product-order) offset i.
+
+    ours: index = x*n^2 + y*n + z ; ME: index = x + y*n + z*n^2.
+    """
+    n = kernel_size
+    ours = np.arange(n ** 3)
+    x, rem = ours // (n * n), ours % (n * n)
+    y, z = rem // n, rem % n
+    return x + y * n + z * n * n
+
+
 def reorder_kernel(k: np.ndarray, kernel_size: int, me_x_fastest: bool = True
                    ) -> np.ndarray:
     """Permute ME offset enumeration -> canonical kernel_offsets order."""
     K = k.shape[0]
     if K == 1 or not me_x_fastest:
         return k
+    assert kernel_size ** 3 == K, (K, kernel_size)
+    return k[me_offset_permutation(kernel_size)]
+
+
+def kernel_order_coherence(kernel: np.ndarray, kernel_size: int = 3):
+    """Spatial-coherence check for a *trained* hypercube kernel.
+
+    Returns (adjacent_sim, baseline_sim): mean cosine similarity between
+    kernel slices at spatially adjacent offsets under the hypercube
+    decoding, vs the all-pairs baseline. A trained conv kernel is spatially
+    smooth, so adjacent_sim >> baseline_sim confirms the [K, Cin, Cout]
+    layout really is a hypercube enumeration (a scrambled or non-spatial
+    layout scores ~baseline). Note the x-fastest and product orders differ
+    only by an x<->z axis transpose, which adjacency statistics CANNOT
+    distinguish — that choice rests on ME's coordinate_at decoding (module
+    docstring) and is ultimately validated against reference activations.
+    """
     n = kernel_size
-    assert n ** 3 == K, (K, kernel_size)
-    # ours: index = x*n^2 + y*n + z ; ME: index = x + y*n + z*n^2
-    ours = np.arange(K)
-    x, rem = ours // (n * n), ours % (n * n)
-    y, z = rem // n, rem % n
-    me_index = x + y * n + z * n * n
-    return k[me_index]
+    flat = kernel.reshape(kernel.shape[0], -1).astype(np.float64)
+    norm = np.linalg.norm(flat, axis=1, keepdims=True)
+    flat = flat / np.maximum(norm, 1e-12)
+    sims = flat @ flat.T
+    adj = []
+    for x in range(n):
+        for y in range(n):
+            for z in range(n):
+                i = x + y * n + z * n * n
+                for dx, dy, dz in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+                    if x + dx < n and y + dy < n and z + dz < n:
+                        j = (x + dx) + (y + dy) * n + (z + dz) * n * n
+                        adj.append(sims[i, j])
+    k = kernel.shape[0]
+    off_diag = (sims.sum() - np.trace(sims)) / (k * (k - 1))
+    return float(np.mean(adj)), float(off_diag)
 
 
 def _bn(sd: Dict[str, np.ndarray], name: str):

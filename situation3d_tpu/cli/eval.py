@@ -23,12 +23,144 @@ def parse_args(argv=None):
     p.add_argument("--config", default=None)
     p.add_argument("--options", nargs="*", default=[])
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    p.add_argument("--trainable-checkpoint", default=None,
+                   help="trainable-only .npz saved by the trainer "
+                        "(runner_base.py:530-554 format analogue)")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="reference-format torch .pth checkpoint "
+                        "(converted via ckpt_compat)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--split", default="val")
     p.add_argument("--output", default="outputs/eval")
     p.add_argument("--visualize", action="store_true",
                    help="export PLY/OBJ scene visualizations")
+    p.add_argument("--segmentation", action="store_true",
+                   help="also run 3D semantic-segmentation mIoU through the "
+                        "full OpenScene decoder (eval.py:234-332)")
+    p.add_argument("--text-features", default=None,
+                   help=".npy [num_classes, 768] CLIP text features for the "
+                        "segmentation head (random unit vectors if absent)")
     return p.parse_args(argv)
+
+
+def run_segmentation_eval(cfg, trained_params, seg_ds, batch_size,
+                          text_features, num_answers, seed=0):
+    """Segmentation mIoU via the full decoder: rebuild SIG3D with
+    ``final_result=True`` (fresh init provides the decoder tail), merge any
+    trained params over it (the strict=False load of eval.py:220-231), then
+    ``openscene_out @ text_features.T`` vs per-voxel labels
+    (eval.py:293-297, 324-332)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from situation3d_tpu.ckpt_compat.blip2 import merge_params
+    from situation3d_tpu.data.sqa3d import batch_iterator
+    from situation3d_tpu.eval.segmentation import (confusion_matrix,
+                                                   miou_from_confusion)
+    from situation3d_tpu.models.sig3d import SIG3D
+
+    cfg = dataclasses.replace(
+        cfg, sparse=dataclasses.replace(cfg.sparse, final_result=True))
+    model = SIG3D(cfg, num_answers,
+                  dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
+    batches = batch_iterator(seg_ds, batch_size, shuffle=False,
+                             drop_last=False)
+    first = next(batches)
+
+    def model_batch(b):
+        return {k: jnp.asarray(v) for k, v in b.items()
+                if k not in ("question_id", "answer_cat", "answer_cats",
+                             "voxel_labels", "sample_valid")}
+
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.PRNGKey(seed),
+         "sample": jax.random.PRNGKey(seed + 1)}, b, train=False))(
+        model_batch(first))
+    if trained_params is not None:
+        variables = dict(variables)
+        variables["params"] = merge_params(variables["params"],
+                                           jax.tree_util.tree_map(
+                                               lambda x: x, trained_params))
+
+    tf = jnp.asarray(text_features, jnp.float32)
+
+    @jax.jit
+    def seg_step(b, key):
+        out = model.apply(variables, b, train=False, rngs={"sample": key})
+        feats = out["openscene_out"].astype(jnp.float32)
+        return jnp.argmax(feats @ tf.T, axis=-1)  # [B, V]
+
+    num_classes = tf.shape[0]
+    conf = np.zeros((num_classes, num_classes), np.int64)
+    key = jax.random.PRNGKey(seed + 2)
+    import itertools
+    for b in itertools.chain([first], batches):
+        key, sub = jax.random.split(key)
+        pred = np.asarray(seg_step(model_batch(b), sub))
+        labels = np.asarray(b["voxel_labels"])
+        mask = np.asarray(b["voxel_mask"])
+        valid_rows = np.asarray(b.get("sample_valid",
+                                      np.ones(len(pred), bool)))
+        sel = mask & valid_rows[:, None]
+        conf += confusion_matrix(pred[sel], labels[sel], num_classes)
+    miou, ious = miou_from_confusion(conf)
+    acc = float(np.diag(conf).sum() / max(conf.sum(), 1))
+    out = {"seg_mIoU": miou, "seg_accuracy": acc}
+    out.update({f"seg_iou/{i}": float(v) for i, v in enumerate(ious)})
+    return out
+
+
+def restore_blip2_params(cfg, model, params, args, logger):
+    """Load trained Blip2T5 params from any of the supported sources:
+    orbax full-state dir (--checkpoint), trainable-only .npz
+    (--trainable-checkpoint), or a reference-format torch checkpoint
+    (--torch-checkpoint; evaluate.py:65 / inference.py:30-32 parity)."""
+    if args.checkpoint:
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        from situation3d_tpu.train.blip2_trainer import (
+            Blip2TrainState, make_blip2_optimizer)
+        tx, _ = make_blip2_optimizer(cfg, params, 1)
+        template = Blip2TrainState(step=jnp.zeros((), jnp.int32),
+                                   params=params, opt_state=tx.init(params))
+        mgr = ocp.CheckpointManager(os.path.abspath(args.checkpoint))
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {args.checkpoint}")
+        state = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        logger.info("restored orbax checkpoint step %d", step)
+        return state.params
+    if args.trainable_checkpoint:
+        from situation3d_tpu.train.checkpoint import load_trainable_npz
+        params = load_trainable_npz(args.trainable_checkpoint, params)
+        logger.info("merged trainable-only checkpoint %s",
+                    args.trainable_checkpoint)
+        return params
+    if getattr(args, "torch_checkpoint", None):
+        import torch
+
+        from situation3d_tpu.ckpt_compat.blip2 import (convert_blip2,
+                                                       merge_params)
+        sd = torch.load(args.torch_checkpoint, map_location="cpu",
+                        weights_only=False)
+        sd = sd.get("model", sd)
+        sd = {k: v.numpy() if hasattr(v, "numpy") else v
+              for k, v in sd.items()}
+        update = convert_blip2(sd, cfg.blip2.qformer.num_layers,
+                               cfg.blip2.qformer.cross_attention_freq,
+                               vocab_size=cfg.blip2.t5.vocab_size)
+        params = merge_params(params, update)
+        logger.info("merged reference torch checkpoint %s",
+                    args.torch_checkpoint)
+        return params
+    logger.warning("no checkpoint given: scoring a randomly initialized "
+                   "model (pass --checkpoint/--trainable-checkpoint/"
+                   "--torch-checkpoint)")
+    return params
 
 
 def main(argv=None) -> None:
@@ -78,26 +210,51 @@ def main(argv=None) -> None:
                     gt_pose=np.asarray(batch["auxiliary_task"][i]),
                     pred_pose=aux[i] if aux.ndim == 2 else None)
             logger.info("visualizations written to %s", args.output)
+        if args.segmentation:
+            import numpy as np
+            if args.synthetic:
+                from situation3d_tpu.data.synthetic import \
+                    make_synthetic_dataset
+                seg_ds = make_synthetic_dataset(cfg, 1, 4, split="val",
+                                                seed=1, include_labels=True)
+            else:
+                from situation3d_tpu.data.sqa3d import SQA3DDataset
+                seg_ds = SQA3DDataset(cfg, args.split, ds.vocab,
+                                      getattr(ds, "answer_counter", None),
+                                      include_labels=True)
+            if args.text_features:
+                tf = np.load(args.text_features)
+            else:
+                logger.warning("no --text-features: using random unit "
+                               "vectors (synthetic seg smoke only)")
+                r = np.random.RandomState(0).randn(20, cfg.sparse.out_channels)
+                tf = r / np.linalg.norm(r, axis=1, keepdims=True)
+            seg = run_segmentation_eval(
+                cfg, trainer.state.params, seg_ds, cfg.eval.batch_size, tf,
+                num_answers=len(getattr(ds, "vocab", [])) or
+                cfg.data.num_answers)
+            logger.info("segmentation: mIoU=%.4f acc=%.4f",
+                        seg["seg_mIoU"], seg["seg_accuracy"])
+            metrics.update(seg)
         with open(os.path.join(args.output, "metrics.json"), "w") as fh:
             json.dump({k: float(v) for k, v in metrics.items()}, fh, indent=2)
     else:
-        from situation3d_tpu.data.threedvqa import eval_batches
+        from situation3d_tpu.data.threedvqa import eval_batches, gold_answers
         from situation3d_tpu.eval.sqa3d_scoring import score_results
-        from situation3d_tpu.train.blip2_trainer import evaluate_generation
+        from situation3d_tpu.train.blip2_trainer import (Blip2Trainer,
+                                                         evaluate_generation)
         model = task.build_model()
         from situation3d_tpu.data.threedvqa import train_batches
-        example = next(train_batches(ds, cfg.eval.batch_size, seed=0))
-        params = task.init_params(model, example)
-        # TODO(ckpt): restore trained params via ckpt_compat/orbax when given
+        example = next(eval_batches(ds, cfg.eval.batch_size))
+        params = task.init_params(
+            model, {**example,
+                    "labels": example["input_ids"][:, :4],
+                    "label_mask": example["input_mask"][:, :4]})
+        params = restore_blip2_params(cfg, model, params, args, logger)
         preds_by_qid = evaluate_generation(
             cfg, model, params, eval_batches(ds, cfg.eval.batch_size),
             ds.text.decode, output_dir=args.output)
-        golds, questions = {}, {}
-        for i, rec in enumerate(ds.records):
-            s = ds.sample(i)
-            qid = int(s["question_id"])
-            golds[qid] = rec.get("answers", [])
-            questions[qid] = rec.get("question", "")
+        golds, questions = gold_answers(ds)
         scores = score_results(
             {str(k): v for k, v in preds_by_qid.items()},
             {str(k): v for k, v in golds.items()},

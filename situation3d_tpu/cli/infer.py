@@ -2,12 +2,15 @@
 
 Replaces ``3DLLM_BLIP2-base/inference.py``: load a scene's precomputed
 features (``pc_feat`` [N, 1408] .pt + ``pc`` [N, 3] .npy), ask free-form
-questions, print generated answers; and a SIG3D mode: scene ``.pth`` +
-situation/question -> classified answer.
+questions, print generated answers (``inference.py:30-32``: from_pretrained
++ load_state_dict); and a SIG3D mode: scene ``.pth`` + situation/question
+-> classified answer from a trained checkpoint.
 """
 from __future__ import annotations
 
 import argparse
+import json
+import os
 
 import numpy as np
 
@@ -22,11 +25,19 @@ def parse_args(argv=None):
     p.add_argument("--options", nargs="*", default=[])
     p.add_argument("--pc-feat", help="scene features .pt (N,1408)")
     p.add_argument("--pc", help="voxel coords .npy (N,3)")
-    p.add_argument("--scene", help="scene .pth for sqa3d mode")
+    p.add_argument("--scene", help="scene id for sqa3d mode")
+    p.add_argument("--scene-dir", default=None,
+                   help="OpenScene .pth scene dir for sqa3d mode")
     p.add_argument("--situation", default="I am standing in the room.")
     p.add_argument("--question", required=False,
                    default="What is in front of me?")
-    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    p.add_argument("--trainable-checkpoint", default=None,
+                   help="trainable-only .npz (blip2 trainer best-model dump)")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="reference-format torch .pth checkpoint")
+    p.add_argument("--answer-vocab", default=None,
+                   help="answer_vocab.json from the sqa3d train run")
     return p.parse_args(argv)
 
 
@@ -39,6 +50,7 @@ def main(argv=None) -> None:
     cfg = load_config(args.config, args.options)
 
     if args.task == "3d_vqa":
+        from situation3d_tpu.cli.eval import restore_blip2_params
         from situation3d_tpu.data.threedvqa import (ThreeDVQADataset,
                                                     clean_question)
         from situation3d_tpu.models.blip2_t5 import Blip2T5, predict_answers
@@ -61,8 +73,9 @@ def main(argv=None) -> None:
                                {**batch,
                                 "labels": jnp.zeros((1, 4), jnp.int32),
                                 "label_mask": jnp.ones((1, 4), jnp.int32)})
-        # TODO(ckpt): load converted reference weights when --checkpoint given
-        tokens = predict_answers(model, variables, batch,
+        params = restore_blip2_params(cfg, model, variables["params"],
+                                      args, logger)
+        tokens = predict_answers(model, {"params": params}, batch,
                                  max_len=cfg.blip2.t5.max_answer_len)
         print("Q:", clean_question(args.question))
         print("A:", ds.text.decode(np.asarray(tokens)[0]))
@@ -70,10 +83,42 @@ def main(argv=None) -> None:
         from situation3d_tpu.data.sqa3d import SQA3DDataset, load_scene
         from situation3d_tpu.data.vocab import AnswerVocab
         from situation3d_tpu.models.sig3d import SIG3D
+        from situation3d_tpu.train.trainer import Trainer
 
-        scene = load_scene(".", None, args.scene) if args.scene else None
-        logger.info("sqa3d single-scene inference requires a trained "
-                    "checkpoint; wire --checkpoint to trainer.ckpt.restore")
+        assert args.checkpoint, "sqa3d inference needs --checkpoint"
+        assert args.answer_vocab, "sqa3d inference needs --answer-vocab"
+        with open(args.answer_vocab) as fh:
+            vocab = AnswerVocab(json.load(fh))
+        scene = load_scene(args.scene_dir or cfg.data.scene_dir, None,
+                           args.scene)
+        # identity pose record: position/rotation come from --situation text
+        # only in the reference too (the pose is a dataset field; for ad-hoc
+        # inference we use the scene origin with identity heading)
+        rec = {"scene_id": args.scene, "situation": args.situation,
+               "question": args.question, "question_id": 0,
+               "position": [0, 0, 0, 0, 0, 0, 1], "answers": []}
+        ds = SQA3DDataset(cfg, "val", vocab, records=[rec],
+                          scenes={args.scene: scene})
+        sample = ds[0]
+        batch = {k: np.asarray(v)[None] for k, v in sample.items()
+                 if k not in ("question_id", "answer_cat", "answer_cats")}
+        model = SIG3D(cfg, num_answers=len(vocab),
+                      dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32)
+        import dataclasses
+        cfg_ckpt = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           ckpt_dir=args.checkpoint))
+        trainer = Trainer(cfg_ckpt, model, steps_per_epoch=1,
+                          example_batch=batch)
+        restored = trainer.ckpt.restore(trainer.state)
+        assert restored is not None, f"no checkpoint in {args.checkpoint}"
+        trainer.state = restored
+        logger.info("restored checkpoint step %d", int(restored.step))
+        metrics, keep = trainer.eval_step(
+            trainer.state, batch, jax.random.PRNGKey(0))
+        pred = int(np.asarray(keep["answer_scores"]).argmax(-1)[0])
+        print("Q:", args.question)
+        print("A:", vocab.itos(pred))
 
 
 if __name__ == "__main__":

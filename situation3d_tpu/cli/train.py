@@ -20,13 +20,18 @@ from situation3d_tpu.utils.misc import set_seed, setup_logger
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="situation3d_tpu trainer")
-    p.add_argument("--task", choices=["sqa3d", "3d_vqa"], default="sqa3d")
+    p.add_argument("--task", choices=["sqa3d", "3d_vqa", "stage1"],
+                   default="sqa3d")
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--options", nargs="*", default=[],
                    help="dot-key overrides, e.g. train.lr=1e-4")
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic data (hermetic smoke runs)")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in train.ckpt_dir "
+                        "(model + optimizer + step; train.py:256-262 / "
+                        "runner_base.py:576-596 parity)")
     p.add_argument("--output", default="outputs/run")
     return p.parse_args(argv)
 
@@ -40,7 +45,8 @@ def main(argv=None) -> None:
     os.makedirs(args.output, exist_ok=True)
     save_config(cfg, os.path.join(args.output, "config.yaml"))
 
-    task = setup_task(args.task, cfg, synthetic=args.synthetic)
+    task = setup_task("3d_vqa" if args.task == "stage1" else args.task,
+                      cfg, synthetic=args.synthetic)
     datasets = task.build_datasets()
 
     from situation3d_tpu.config import to_dict
@@ -78,6 +84,14 @@ def main(argv=None) -> None:
         model = task.build_model()
         steps_per_epoch = max(len(datasets["train"]) // bs, 1)
         trainer = task.build_trainer(model, example, steps_per_epoch, log_fn)
+        if args.resume:
+            restored = trainer.ckpt.restore(trainer.state)
+            if restored is not None:
+                trainer.state = restored
+                logger.info("resumed from step %d", int(restored.step))
+            else:
+                logger.info("no checkpoint found in %s; starting fresh",
+                            cfg.train.ckpt_dir)
         def val_clean(b):
             # keep question_id for best-prediction CSV export
             return {k: v for k, v in b.items()
@@ -92,25 +106,90 @@ def main(argv=None) -> None:
             task.clean_batch(b) for b in batch_iterator(
                 datasets["val"], bs, shuffle=False, drop_last=False))
         logger.info("final val: %s", metrics)
-    else:
-        from situation3d_tpu.data.threedvqa import eval_batches, train_batches
-        from situation3d_tpu.train.blip2_trainer import (evaluate_generation,
-                                                         train_blip2)
-        model = task.build_model()
+    elif args.task == "stage1":
+        # Q-Former stage-1 representation pretraining (blip2_qformer.py:
+        # ITC + ITM-with-hard-negatives + LM), RunnerIter-style cadence
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from situation3d_tpu.data.threedvqa import stage1_batches
+        from situation3d_tpu.models.blip2_qformer import Blip2Qformer
+        from situation3d_tpu.parallel.mesh import make_mesh, shard_batch
+        from situation3d_tpu.train.optim import make_optimizer
+
         ds = datasets["train"]
+        bs = cfg.train.batch_size
+        qcfg = cfg.blip2.qformer
+        model = Blip2Qformer(qcfg)
+        mesh = make_mesh(cfg.mesh)
+        example = next(stage1_batches(ds, bs, qcfg))
+        rngs = {"params": jax.random.PRNGKey(cfg.train.seed),
+                "sample": jax.random.PRNGKey(cfg.train.seed + 1)}
+        params = jax.jit(lambda b: model.init(rngs, b))(
+            {k: jnp.asarray(v) for k, v in example.items()})["params"]
+        tx, schedule = make_optimizer(cfg.train, params)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step_fn(params, opt_state, batch, key):
+            def loss_fn(p):
+                out = model.apply({"params": p}, batch, train=True,
+                                  rngs={"sample": key})
+                return out["loss"], out
+            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, out
+
+        key = jax.random.PRNGKey(cfg.train.seed + 2)
+        step = 0
+        with mesh:
+            for batch in stage1_batches(ds, bs, qcfg, seed=cfg.train.seed,
+                                        epochs=cfg.train.epochs):
+                key, sub = jax.random.split(key)
+                params, opt_state, out = step_fn(
+                    params, opt_state, shard_batch(batch, mesh), sub)
+                step += 1
+                if step % cfg.train.log_every_steps == 0:
+                    log_fn({k: float(v) for k, v in out.items()}, step)
+                if args.max_steps and step >= args.max_steps:
+                    break
+        from situation3d_tpu.train.checkpoint import save_trainable_npz
+        import jax.tree_util as jtu
+        n = save_trainable_npz(
+            os.path.join(args.output, "stage1_qformer.npz"), params,
+            jtu.tree_map(lambda _: True, params))
+        logger.info("stage1 done: %d steps, %d tensors saved", step, n)
+    else:
+        import json
+
+        from situation3d_tpu.data.threedvqa import (eval_batches,
+                                                    gold_answers,
+                                                    train_batches)
+        from situation3d_tpu.train.blip2_trainer import Blip2Trainer
+        model = task.build_model()
+        ds, val_ds = datasets["train"], datasets["val"]
         bs = cfg.train.batch_size
         example = next(train_batches(ds, bs, seed=0))
         params = task.init_params(model, example, cfg.train.seed)
-        params = train_blip2(
-            cfg, model, params,
+        golds, _ = gold_answers(val_ds)
+        trainer = Blip2Trainer(
+            cfg, model, steps_per_epoch=max(len(ds.train_pairs()) // bs, 1),
+            params=params, log_fn=log_fn, text_decoder=val_ds.text.decode)
+        if args.resume and trainer.resume():
+            logger.info("resumed from step %d", int(trainer.state.step))
+        trainer.fit(
             train_batches(ds, bs, seed=cfg.train.seed, epochs=cfg.train.epochs),
-            max_steps=args.max_steps, log_fn=log_fn,
-            steps_per_epoch=max(len(ds.train_pairs()) // bs, 1))
-        preds = evaluate_generation(
-            cfg, model, params, eval_batches(datasets["val"], bs),
-            datasets["val"].text.decode,
-            output_dir=os.path.join(args.output, "results"))
-        logger.info("generated %d answers", len(preds))
+            val_iter_fn=lambda: eval_batches(val_ds, bs),
+            golds=golds, max_steps=args.max_steps)
+        em, preds = trainer.evaluate(eval_batches(val_ds, bs), golds)
+        logger.info("final val EM=%.4f over %d answers (best ckpt)", em,
+                    len(preds))
+        results_dir = os.path.join(args.output, "results")
+        os.makedirs(results_dir, exist_ok=True)
+        with open(os.path.join(results_dir, "vqa_result.json"), "w") as fh:
+            json.dump([{"question_id": q, "answer": a}
+                       for q, a in preds.items()], fh)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,9 @@ class SparseConfig:
     # beyond it fall back to the sort path via dense_lookup=False.
     dense_lookup: bool = True
     grid_extent: Tuple[int, ...] = (512, 512, 256)
+    # run the full decoder tail + 768-d CLIP head (CONF.OPENSCENE.final_result,
+    # lib/config.py:114): needed only for segmentation eval (eval.py:234-297)
+    final_result: bool = False
     # same-stride k3 convs at strides >= this run as dense XLA conv3d over
     # the (small) coarse grid instead of per-offset gathers. Off by default:
     # measured slower than the gather path on v5e (5.39 -> 4.35 samples/s);
@@ -105,6 +108,8 @@ class LangConfig:
     layer_norm_eps: float = 1e-5
     pad_token_id: int = 1
     relative_attention_num_buckets: int = 32  # MPNet uses relative position bias
+    glove_dim: int = 300               # GloVe emb size for the LSTM variant
+                                       # (sep_lang_module_bert.py emb_size)
 
 
 @dataclass
@@ -119,8 +124,7 @@ class LossConfig:
     box_weight: float = 0.0
     sem_cls_weight: float = 0.0
     amplifier: float = 10.0            # loss *= 10 (loss_helper.py:300)
-    answer_loss: str = "bce"           # "bce" | "ce"
-    use_answer_weights: bool = True
+    answer_loss: str = "bce"           # "bce" (answer_cat_scores) | "ce" (answer_cat)
 
 
 @dataclass
@@ -141,6 +145,12 @@ class TrainConfig:
     bn_momentum_decay: float = 0.5
     bn_momentum_step: int = 20
     val_every_steps: int = 1000        # val_step (solver.py:437)
+    # RunnerIter parity (runner_iter.py:25-60): iteration-based training.
+    # max_iters > 0 bounds total optimizer steps; iters_per_inner_epoch > 0
+    # sets the val/checkpoint cadence in steps (an "inner epoch"); 0 falls
+    # back to epoch-based cadence (RunnerBase).
+    max_iters: int = 0
+    iters_per_inner_epoch: int = 0
     log_every_steps: int = 50
     ckpt_dir: str = "outputs/ckpt"
     ckpt_keep: int = 3

@@ -114,7 +114,8 @@ class SQA3DDataset:
                  answer_counter: Optional[Dict[str, int]] = None,
                  records: Optional[List[dict]] = None,
                  scenes: Optional[Dict[str, SceneData]] = None,
-                 scans_dir: Optional[str] = None):
+                 scans_dir: Optional[str] = None,
+                 include_labels: bool = False):
         self.cfg = cfg
         self.split = split
         self.vocab = answer_vocab
@@ -131,6 +132,7 @@ class SQA3DDataset:
         self._scene_dir = cfg.data.scene_dir
         self._scans_dir = scans_dir
         self.tag = cfg.model.situation_loss_tag
+        self.include_labels = include_labels  # per-voxel GT labels for seg eval
         self.rng = np.random.RandomState(cfg.data.seed)
 
     def __len__(self) -> int:
@@ -183,19 +185,23 @@ class SQA3DDataset:
         coord = coord - mins
         vox_coords, first_idx, _ = voxelize_np(points, cfg.data.voxel_size)
         vox_colors = colors[first_idx]
+        vox_labels = scene.labels[first_idx]
 
         cap = cfg.data.voxel_capacity
         n = min(len(vox_coords), cap)
         if len(vox_coords) > cap:  # keep a random subset under overflow
             sel = self.rng.choice(len(vox_coords), cap, replace=False)
             vox_coords, vox_colors = vox_coords[sel], vox_colors[sel]
+            vox_labels = vox_labels[sel]
             n = cap
         out_coords = np.zeros((cap, 3), np.int32)
         out_feats = np.zeros((cap, 3), np.float32)
         out_mask = np.zeros(cap, bool)
+        out_labels = np.full(cap, 255, np.uint8)  # 255 == UNKNOWN_ID pad
         out_coords[:n] = vox_coords[:n]
         out_feats[:n] = vox_colors[:n]
         out_mask[:n] = True
+        out_labels[:n] = vox_labels[:n]
 
         # --- language -----------------------------------------------------
         s_ids, s_mask = self.tokenizer.encode(
@@ -216,7 +222,7 @@ class SQA3DDataset:
         qid = rec.get("question_id", idx)
         if isinstance(qid, str):
             qid = int(qid.split("-")[-1])
-        return {
+        item = {
             "s_ids": s_ids, "s_mask": s_mask, "q_ids": q_ids, "q_mask": q_mask,
             "voxel_coords": out_coords, "voxel_feats": out_feats,
             "voxel_mask": out_mask,
@@ -226,6 +232,9 @@ class SQA3DDataset:
             "question_type": np.int32(question_type_id(rec.get("question", ""))),
             "question_id": np.int32(qid),
         }
+        if self.include_labels:
+            item["voxel_labels"] = out_labels
+        return item
 
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
@@ -233,11 +242,11 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    epochs: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
     """Stack samples into fixed-shape batches; pads the final partial batch
     with repeats and marks them via ``sample_valid`` (eval parity with the
-    reference's non-dropping loader)."""
+    reference's non-dropping loader). ``epochs=None`` yields exactly one
+    pass over the dataset."""
     rng = np.random.RandomState(seed)
     n = len(dataset)
-    epoch = 0
-    while epochs is None or epoch < epochs:
+    for _ in range(1 if epochs is None else epochs):
         order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n, batch_size):
             idxs = order[start:start + batch_size]
@@ -253,6 +262,3 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                      for k in samples[0]}
             batch["sample_valid"] = valid
             yield batch
-        epoch += 1
-        if epochs is None:
-            return

@@ -64,7 +64,8 @@ def synthetic_records(rng, scene_ids: List[str], per_scene: int,
 
 def make_synthetic_dataset(cfg: Config, n_scenes: int = 2, per_scene: int = 4,
                            split: str = "train", n_points: int = 30000,
-                           seed: int = 0) -> SQA3DDataset:
+                           seed: int = 0,
+                           include_labels: bool = False) -> SQA3DDataset:
     rng = np.random.RandomState(seed)
     scene_ids = [f"scene{i:04d}_00" for i in range(n_scenes)]
     scenes = {sid: synthetic_scene(rng, n_points) for sid in scene_ids}
@@ -72,4 +73,4 @@ def make_synthetic_dataset(cfg: Config, n_scenes: int = 2, per_scene: int = 4,
     vocab = AnswerVocab(_ANSWERS)
     counter = {a: 5 for a in _ANSWERS}
     return SQA3DDataset(cfg, split, vocab, counter, records=records,
-                        scenes=scenes)
+                        scenes=scenes, include_labels=include_labels)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import zlib
 from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -33,6 +34,14 @@ from situation3d_tpu.config import Blip2Config
 
 
 _PUNCT_RE = re.compile(r"([.!\"()*#:;~])")
+
+
+def question_id_int(rec: dict, idx: int) -> int:
+    """Deterministic int32 id for a record (Python's ``hash`` is salted per
+    process, which would break cross-process prediction/gold matching)."""
+    if "question_id_int" in rec:
+        return int(rec["question_id_int"])
+    return zlib.crc32(str(rec.get("question_id", idx)).encode()) % (1 << 31)
 
 
 def clean_question(q: str) -> str:
@@ -137,8 +146,7 @@ class ThreeDVQADataset:
         item = {
             "pc_feat": out_feat, "pc": out_pc, "pc_mask": mask,
             "input_ids": input_ids, "input_mask": input_mask,
-            "question_id": np.int32(rec.get("question_id_int",
-                                            hash(str(rec.get("question_id", idx))) % (1 << 31))),
+            "question_id": np.int32(question_id_int(rec, idx)),
         }
         if answer is not None:
             labels, lmask = self.text.encode(answer, cfg.t5.max_answer_len)
@@ -154,6 +162,17 @@ class ThreeDVQADataset:
             for a in rec.get("answers", [""]):
                 pairs.append((i, a))
         return pairs
+
+
+def gold_answers(ds: ThreeDVQADataset) -> Tuple[Dict[int, List[str]],
+                                                Dict[int, str]]:
+    """({qid: gold answers}, {qid: question}) without loading features."""
+    golds, questions = {}, {}
+    for i, rec in enumerate(ds.records):
+        qid = question_id_int(rec, i)
+        golds[qid] = rec.get("answers", [])
+        questions[qid] = rec.get("question", "")
+    return golds, questions
 
 
 def train_batches(ds: ThreeDVQADataset, batch_size: int, seed: int = 0,
@@ -181,6 +200,40 @@ def eval_batches(ds: ThreeDVQADataset, batch_size: int
         batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         batch["sample_valid"] = valid
         yield batch
+
+
+def stage1_batches(ds: ThreeDVQADataset, batch_size: int, qcfg,
+                   seed: int = 0, epochs: Optional[int] = 1,
+                   text_len: int = 32) -> Iterator[Dict[str, np.ndarray]]:
+    """Stage-1 pretraining batches: (scene features, caption) pairs for
+    Blip2Qformer (blip2_qformer.py:30-461). Captions are the question texts
+    tokenized into the Q-Former's BERT-sized vocab (hash tokenizer —
+    hermetic; swap for a real BERT tokenizer when cached)."""
+    from situation3d_tpu.data.tokenizer import HashTokenizer
+    tok = HashTokenizer(qcfg.vocab_size - 2)  # reserve top ids (bos analogue)
+    rng = np.random.RandomState(seed)
+    n = len(ds.records)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idxs = order[start:start + batch_size]
+            feats, masks, tids, tmask = [], [], [], []
+            for i in idxs:
+                s = ds.sample(int(i))
+                feats.append(s["pc_feat"])
+                masks.append(s["pc_mask"])
+                ids, m = tok.encode(
+                    clean_question(ds.records[int(i)]["question"]), text_len)
+                tids.append(ids)
+                tmask.append(m)
+            yield {
+                "image_embeds": np.stack(feats),
+                "image_mask": np.stack(masks),
+                "text_ids": np.stack(tids).astype(np.int32),
+                "text_mask": np.stack(tmask).astype(np.int32),
+            }
+        epoch += 1
 
 
 def synthetic_threedvqa(cfg: Blip2Config, n_scenes: int = 2, per_scene: int = 3,

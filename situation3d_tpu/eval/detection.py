@@ -272,3 +272,83 @@ class APCalculator:
             aps.append(ap)
         out["mAP"] = float(np.mean(aps)) if aps else 0.0
         return out
+
+
+# ---------------------------------------------------------------------------
+# Model-output parsing (lib/ap_helper.py:40-141 parse_predictions /
+# parse_groundtruths)
+# ---------------------------------------------------------------------------
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def parse_predictions(end_points: Dict[str, np.ndarray], config,
+                      conf_thresh: float = 0.05,
+                      nms_iou: float = 0.25) -> List[List[Tuple]]:
+    """VoteNet output dict -> per-sample [(cls, corners[8,3], score), ...].
+
+    Decodes heading/size classes to boxes (get_3d_box), filters by
+    objectness prob, applies per-sample 3D NMS — the parse_predictions flow
+    of ap_helper.py with use_3d_nms semantics.
+    """
+    center = np.asarray(end_points["center"])            # [B, K, 3]
+    B, K, _ = center.shape
+    obj_prob = _softmax(np.asarray(end_points["objectness_scores"]))[..., 1]
+    h_cls = np.asarray(end_points["heading_scores"]).argmax(-1)
+    h_res = np.take_along_axis(
+        np.asarray(end_points["heading_residuals"]), h_cls[..., None],
+        -1)[..., 0]
+    s_cls = np.asarray(end_points["size_scores"]).argmax(-1)
+    s_res = np.take_along_axis(
+        np.asarray(end_points["size_residuals"]),
+        s_cls[..., None, None].repeat(3, -1), 2)[:, :, 0]
+    sem_cls = np.asarray(end_points["sem_cls_scores"]).argmax(-1)
+
+    batch_pred: List[List[Tuple]] = []
+    for b in range(B):
+        corners = np.zeros((K, 8, 3))
+        for k in range(K):
+            size = config.class2size(int(s_cls[b, k]), s_res[b, k])
+            angle = config.class2angle(int(h_cls[b, k]), float(h_res[b, k]))
+            corners[k] = get_3d_box(np.maximum(size, 1e-4), angle,
+                                    center[b, k])
+        # axis-aligned NMS boxes [x1,y1,z1,x2,y2,z2,score]
+        boxes = np.zeros((K, 7))
+        boxes[:, :3] = corners.min(1)
+        boxes[:, 3:6] = corners.max(1)
+        boxes[:, 6] = obj_prob[b]
+        keep = nms_3d_faster(boxes[obj_prob[b] > conf_thresh], nms_iou)
+        kept_idx = np.flatnonzero(obj_prob[b] > conf_thresh)[keep]
+        batch_pred.append([
+            (int(sem_cls[b, k]), corners[k], float(obj_prob[b, k]))
+            for k in kept_idx])
+    return batch_pred
+
+
+def parse_groundtruths(batch: Dict[str, np.ndarray], config
+                       ) -> List[List[Tuple]]:
+    """GT labels -> per-sample [(cls, corners[8,3]), ...] (ap_helper.py
+    parse_groundtruths)."""
+    center = np.asarray(batch["center_label"])[:, :, :3]
+    mask = np.asarray(batch["box_label_mask"])
+    h_cls = np.asarray(batch["heading_class_label"])
+    h_res = np.asarray(batch["heading_residual_label"])
+    s_cls = np.asarray(batch["size_class_label"])
+    s_res = np.asarray(batch["size_residual_label"])
+    sem = np.asarray(batch["sem_cls_label"])
+    B, K2 = center.shape[:2]
+    out: List[List[Tuple]] = []
+    for b in range(B):
+        gts = []
+        for k in range(K2):
+            if mask[b, k] < 0.5:
+                continue
+            size = config.class2size(int(s_cls[b, k]), s_res[b, k])
+            angle = config.class2angle(int(h_cls[b, k]), float(h_res[b, k]))
+            gts.append((int(sem[b, k]),
+                        get_3d_box(np.maximum(size, 1e-4), angle,
+                                   center[b, k])))
+        out.append(gts)
+    return out

@@ -204,7 +204,10 @@ def score_all(preds: Dict[str, str], golds: Dict[str, List[str]]
     return {
         "EM": exact_match(preds, golds),
         "BLEU-1": b[0], "BLEU-2": b[1], "BLEU-3": b[2], "BLEU-4": b[3],
-        "METEOR": meteor(preds, golds),
+        # exact-token alignment, NOT pycocoevalcap METEOR (no stem/synonym/
+        # paraphrase stages) — labeled so reports are not misread as
+        # comparable to the reference's pycoco numbers
+        "METEOR(exact)": meteor(preds, golds),
         "ROUGE-L": rouge_l(preds, golds),
         "CIDEr": cider(preds, golds),
     }

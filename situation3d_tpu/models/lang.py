@@ -123,19 +123,50 @@ class LSTMLangEncoder(nn.Module):
         return lstm(embs, seq_lengths=lengths)
 
 
-class LangModule(nn.Module):
-    """Encodes situation and question separately with shared weights.
+class GloveLSTMEncoder(nn.Module):
+    """Token ids -> per-position LSTM states (``use_bert=False`` path).
 
-    Returns (s_out, q_out, s_pad_mask, q_pad_mask); pad masks True at pad
-    positions (matching ``~attention_mask`` at sep_lang_module_bert.py:84-85).
+    The reference looks tokens up in a pretrained GloVe table
+    (``sepdataset.py`` glove embedding branch); offline we fall back to a
+    trainable embedding table of the same width, which ``ckpt_compat`` can
+    overwrite with real GloVe rows when the vectors file is available.
     """
     cfg: LangConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
+    def __call__(self, ids, attention_mask, deterministic=True):
+        emb = nn.Embed(self.cfg.vocab_size, self.cfg.glove_dim,
+                       dtype=self.dtype, name="word_embeddings")(ids)
+        lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+        out = LSTMLangEncoder(self.cfg.hidden_size, dtype=self.dtype,
+                              name="lstm_encoder")(
+            emb, lengths, deterministic=deterministic)
+        return out * attention_mask[..., None].astype(out.dtype)
+
+
+class LangModule(nn.Module):
+    """Encodes situation and question separately with shared weights.
+
+    ``model`` selects the encoder: "mpnet" (the HF BERT path,
+    sep_lang_module_bert.py use_bert=True) or "lstm" (GloVe+LSTM,
+    ``:48-56``). Returns (s_out, q_out, s_pad_mask, q_pad_mask); pad masks
+    True at pad positions (matching ``~attention_mask`` at
+    sep_lang_module_bert.py:84-85).
+    """
+    cfg: LangConfig
+    dtype: jnp.dtype = jnp.float32
+    model: str = "mpnet"
+
+    @nn.compact
     def __call__(self, s_ids, s_mask, q_ids, q_mask, deterministic=True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        enc = MPNetEncoder(self.cfg, self.dtype, name="encoder")
+        if self.model == "lstm":
+            enc = GloveLSTMEncoder(self.cfg, self.dtype, name="encoder")
+        elif self.model == "mpnet":
+            enc = MPNetEncoder(self.cfg, self.dtype, name="encoder")
+        else:
+            raise ValueError(f"unknown lang_model {self.model!r}")
         s_out = enc(s_ids, s_mask, deterministic)
         q_out = enc(q_ids, q_mask, deterministic)
         return s_out, q_out, s_mask == 0, q_mask == 0

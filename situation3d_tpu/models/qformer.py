@@ -33,7 +33,11 @@ class BertSelfAttentionOut(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, kv=None, kv_mask=None, deterministic=True):
+    def __call__(self, hidden, kv=None, kv_mask=None, deterministic=True,
+                 attn_bias=None):
+        """``kv_mask`` [B, K] masks keys; ``attn_bias`` [B, 1|h, L, K] is an
+        additive mask for structured patterns (causal LM, multimodal ITM —
+        Qformer.py get_extended_attention_mask semantics)."""
         cfg = self.cfg
         B, L, _ = hidden.shape
         h, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
@@ -51,6 +55,8 @@ class BertSelfAttentionOut(nn.Module):
         if kv_mask is not None:
             scores = jnp.where(kv_mask[:, None, None, :].astype(bool), scores,
                                NEG_INF)
+        if attn_bias is not None:
+            scores = scores + attn_bias.astype(scores.dtype)
         att = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)

@@ -114,7 +114,8 @@ class SIG3D(nn.Module):
         out: Dict[str, Any] = {}
 
         # ---- language branch --------------------------------------------
-        s_out, q_out, s_pad, q_pad = LangModule(cfg.lang, self.dtype, name="lang_net")(
+        s_out, q_out, s_pad, q_pad = LangModule(
+            cfg.lang, self.dtype, model=mc.lang_model, name="lang_net")(
             batch["s_ids"], batch["s_mask"], batch["q_ids"], batch["q_mask"], det)
 
         # ---- vision branch ----------------------------------------------
@@ -127,9 +128,19 @@ class SIG3D(nn.Module):
             plan = batch.get("plan") or build_unet_plan(
                 x.coords, x.mask, cfg.sparse.capacities,
                 cfg.sparse.dense_lookup, cfg.sparse.grid_extent)
-            enc_out = MinkUNet(cfg.sparse, final_result=False, dtype=self.dtype,
+            if "overflow" in plan:
+                # capacity/extent overflow counters (visible in train logs;
+                # graceful, *reported* degradation)
+                for k, v in plan["overflow"].items():
+                    out[f"overflow/{k}"] = jnp.sum(v)
+            enc_out = MinkUNet(cfg.sparse, final_result=cfg.sparse.final_result,
+                               dtype=self.dtype,
                                name="scene_encoder")(x, plan, train=False,
                                                      momentum=bn_momentum)
+            if "openscene_out" in enc_out:
+                # per-voxel CLIP-space features for segmentation eval
+                # (eval.py:293-297: openscene_out @ text_features.T)
+                out["openscene_out"] = enc_out["openscene_out"].feats
             bott = enc_out["feat_bottleneck"]
             rng = self.make_rng("sample")
             keys = jax.random.split(rng, bott.batch_size)
@@ -202,17 +213,20 @@ class SIG3D(nn.Module):
                                  name=f"dec_q{i}")(scene_feat, q_feat, None, q_pad, det)
             out["att_feat_ori"] = scene_feat
 
-            # per-token situation heads (computed but unused by the loss,
-            # kept for parity: sqa_module.py:358-361)
-            ph = nn.Dense(256, dtype=self.dtype, name="position_head_fc1")(scene_feat)
-            ph = nn.gelu(ph, approximate=False)
-            ph = nn.Dropout(0.1)(ph, deterministic=det)
-            out["pred_pos_likelihood"] = nn.sigmoid(
-                nn.Dense(1, dtype=self.dtype, name="position_head_fc2")(ph)).squeeze(-1)
-            rh = nn.Dense(256, dtype=self.dtype, name="rotation_head_fc1")(scene_feat)
-            rh = nn.gelu(rh, approximate=False)
-            rh = nn.Dropout(0.1)(rh, deterministic=det)
-            out["pred_rotation"] = nn.Dense(6, dtype=self.dtype, name="rotation_head_fc2")(rh)
+            if mc.predict_situation:
+                # per-token situation heads (computed but unused by the loss,
+                # kept for parity: sqa_module.py:358-361); predict_situation
+                # (CONF.TRAIN.PREDICT_SITUATION, lib/config.py:56) gates them
+                ph = nn.Dense(256, dtype=self.dtype, name="position_head_fc1")(scene_feat)
+                ph = nn.gelu(ph, approximate=False)
+                ph = nn.Dropout(0.1)(ph, deterministic=det)
+                out["pred_pos_likelihood"] = nn.sigmoid(
+                    nn.Dense(1, dtype=self.dtype, name="position_head_fc2")(ph)).squeeze(-1)
+                rh = nn.Dense(256, dtype=self.dtype, name="rotation_head_fc1")(scene_feat)
+                rh = nn.gelu(rh, approximate=False)
+                rh = nn.Dropout(0.1)(rh, deterministic=det)
+                out["pred_rotation"] = nn.Dense(
+                    6, dtype=self.dtype, name="rotation_head_fc2")(rh)
 
         # ---- flatten + heads --------------------------------------------
         flat = dict(flat_mlp_size=mc.mcan_flat_mlp_size,

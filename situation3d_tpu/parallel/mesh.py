@@ -29,9 +29,12 @@ def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
     n = len(devices)
     mp = max(1, cfg.model_parallel)
     dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
-    if dp * mp != n:
-        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, mp)
+    if dp * mp > n:
+        raise ValueError(f"mesh {dp}x{mp} > {n} devices")
+    # an explicit dp x mp smaller than the host's device count uses the
+    # first dp*mp devices (single-host debugging; production leaves
+    # data_parallel=-1 to span the slice)
+    arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, (cfg.data_axis, cfg.model_axis))
 
 

@@ -34,11 +34,13 @@ def build_host_plan_sample(
     native.ensure_built()
 
     levels = []
+    dropped = 0
     cur = np.ascontiguousarray(coords[:num_valid], np.int32)
     for i, stride in enumerate(STRIDES):
         cap = capacities[i]
         if i > 0:
             cur = native.downsample(levels[i - 1]["_real"], STRIDES[i])
+            dropped += max(0, len(cur) - cap)
             cur = cur[:cap]
         padded = np.zeros((cap, 3), np.int32)
         n = min(len(cur), cap)
@@ -76,7 +78,9 @@ def build_host_plan_sample(
                 len(real), cap, capf, 8)
     for lvl in levels:
         del lvl["_real"]
-    return {"levels": levels}
+    return {"levels": levels,
+            "overflow": {"voxels_dropped": np.int32(dropped),
+                         "extent_misses": np.int32(0)}}
 
 
 def stack_plans(plans) -> Dict[str, Any]:
@@ -87,6 +91,10 @@ def stack_plans(plans) -> Dict[str, Any]:
         for key in plans[0]["levels"][i]:
             lvl[key] = np.stack([p["levels"][i][key] for p in plans])
         out["levels"].append(lvl)
+    if "overflow" in plans[0]:
+        out["overflow"] = {
+            k: np.stack([p["overflow"][k] for p in plans])
+            for k in plans[0]["overflow"]}
     return out
 
 

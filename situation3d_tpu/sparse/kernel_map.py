@@ -121,6 +121,10 @@ def build_level_grid(
     level, then every kernel-map query is a single gather
     (:func:`lookup_kernel_map_dense`). Grid memory is transient
     (~extent/stride^3 x 4 B) and shared by all maps touching the level.
+
+    Returns ``(grid, extent_misses)``: voxels outside the grid extent are
+    dropped from the grid (they receive no neighbors) and counted in
+    ``extent_misses`` so overflow is reported, never silent.
     """
     v_in = in_coords.shape[0]
     dx, dy, dz = (e // in_stride for e in extent)
@@ -132,7 +136,8 @@ def build_level_grid(
     write = jnp.where(in_mask & in_extent, flat, total)
     idx = jax.lax.broadcasted_iota(jnp.int32, (v_in, 1), 0).squeeze(-1)
     grid = jnp.full((total,), jnp.int32(v_in))
-    return grid.at[write].set(idx, mode="drop")
+    extent_misses = jnp.sum((in_mask & ~in_extent).astype(jnp.int32))
+    return grid.at[write].set(idx, mode="drop"), extent_misses
 
 
 @partial(jax.jit, static_argnames=("in_stride", "offset_stride", "extent"))
@@ -174,13 +179,17 @@ def downsample_coords(
     ME semantics: new coords = unique(floor(c / new_stride) * new_stride),
     new_stride = stride * factor.
 
-    Returns (out_coords int32 [capacity, 3] in raw units, out_mask [capacity]).
+    Returns (out_coords int32 [capacity, 3] in raw units, out_mask [capacity],
+    dropped) where ``dropped`` counts unique voxels beyond ``capacity`` —
+    those merge into the last slot (graceful, reported degradation rather
+    than a crash; raise the per-stride capacity if it is ever non-zero).
     vmap over batch.
     """
     new_stride = stride * factor
     down = coords // new_stride
-    uc, um, _, _ = voxelize_jax(down, mask, capacity)
-    return uc * new_stride, um
+    uc, um, _, nu = voxelize_jax(down, mask, capacity)
+    dropped = jnp.maximum(nu - capacity, 0)
+    return uc * new_stride, um, dropped
 
 
 def gather_neighbors(feats: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:

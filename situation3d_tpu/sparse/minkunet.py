@@ -64,20 +64,26 @@ def build_unet_plan(
       levels: list over strides of {coords, mask, map_k3}; level 0 also has
         map_k5. Levels 1.. have map_down (from finer level) and level i has
         map_up used by the transpose conv from level i+1 into level i.
+      overflow: {"voxels_dropped": [B], "extent_misses": [B]} int32 counters
+        (capacity/grid overflow is reported, never silent).
     """
     assert len(capacities) == len(STRIDES)
+    B = coords.shape[0]
     k2 = jnp.asarray(kernel_offsets(2))
     k3 = jnp.asarray(kernel_offsets(3))
     k5 = jnp.asarray(kernel_offsets(5))
+    overflow = {"voxels_dropped": jnp.zeros((B,), jnp.int32),
+                "extent_misses": jnp.zeros((B,), jnp.int32)}
 
     levels = [{"coords": coords, "mask": mask}]
     for i in range(1, len(STRIDES)):
         prev = levels[i - 1]
-        c, m = jax.vmap(
+        c, m, dropped = jax.vmap(
             lambda pc, pm: downsample_coords(
                 pc, pm, STRIDES[i - 1], 2, capacities[i]
             )
         )(prev["coords"], prev["mask"])
+        overflow["voxels_dropped"] = overflow["voxels_dropped"] + dropped
         levels.append({"coords": c, "mask": m})
 
     # level 0 builds the k5 map once and slices the k3 map out of it (the 27
@@ -94,9 +100,11 @@ def build_unet_plan(
                                                        lookup_kernel_map_dense)
         grids = []
         for i, lvl in enumerate(levels):
-            grids.append(jax.vmap(
+            grid, misses = jax.vmap(
                 lambda c, m, s=STRIDES[i]: build_level_grid(c, m, s, extent)
-            )(lvl["coords"], lvl["mask"]))
+            )(lvl["coords"], lvl["mask"])
+            overflow["extent_misses"] = overflow["extent_misses"] + misses
+            grids.append(grid)
 
         def lookup(level_i, out_coords, out_mask, offsets, offset_stride):
             s = STRIDES[level_i]
@@ -130,7 +138,7 @@ def build_unet_plan(
             # transpose conv back up: query the coarse level from fine coords
             # with mirrored offsets; divisibility handles parity
             fine["map_up"] = lookup(i, fine["coords"], fine["mask"], -k2, sf)
-    return {"levels": levels}
+    return {"levels": levels, "overflow": overflow}
 
 
 class BasicBlock(nn.Module):

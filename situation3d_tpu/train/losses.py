@@ -21,12 +21,20 @@ def answer_classification_loss(
     answer_scores: jnp.ndarray,
     answer_cat_scores: jnp.ndarray = None,
     answer_cat: jnp.ndarray = None,
+    kind: str = "bce",
 ) -> jnp.ndarray:
-    """BCE-with-logits summed over classes / batch (multi-answer), or CE."""
-    if answer_cat_scores is not None:
+    """BCE-with-logits summed over classes / batch (multi-answer) or CE on
+    the argmax answer — the reference picks by which target is in
+    ``data_dict`` (loss_helper.py:213-227); here ``cfg.loss.answer_loss``
+    selects explicitly."""
+    if kind == "bce" and answer_cat_scores is not None:
         per = optax.sigmoid_binary_cross_entropy(
             answer_scores, answer_cat_scores)
         return jnp.sum(per) / answer_scores.shape[0]
+    if answer_cat is None:
+        raise ValueError(
+            f"answer_loss={kind!r} needs 'answer_cat' in the batch "
+            "(keep it in clean_batch) or answer_cat_scores for 'bce'")
     return jnp.mean(
         optax.softmax_cross_entropy_with_integer_labels(answer_scores, answer_cat))
 
@@ -83,6 +91,7 @@ def get_loss(
             out["answer_scores"],
             batch.get("answer_cat_scores"),
             batch.get("answer_cat"),
+            cfg.answer_loss,
         )
     else:
         terms["answer_loss"] = zero

@@ -56,10 +56,11 @@ class SQA3DTask:
         return Trainer(self.cfg, model, steps_per_epoch,
                        example_batch=example_batch, log_fn=log_fn)
 
-    @staticmethod
-    def clean_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        return {k: v for k, v in batch.items()
-                if k not in ("question_id", "answer_cat", "answer_cats")}
+    def clean_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        drop = {"question_id", "answer_cats", "voxel_labels"}
+        if self.cfg.loss.answer_loss != "ce":
+            drop.add("answer_cat")  # integer target only needed for CE
+        return {k: v for k, v in batch.items() if k not in drop}
 
 
 @registry.register_task("3d_vqa")

@@ -31,7 +31,15 @@ from situation3d_tpu.parallel.mesh import make_mesh, shard_batch
 from situation3d_tpu.train.checkpoint import CheckpointManager
 from situation3d_tpu.train.losses import get_loss
 from situation3d_tpu.train.metrics import answer_metrics, situation_metrics
-from situation3d_tpu.train.optim import make_optimizer
+from situation3d_tpu.train.optim import make_optimizer, sig3d_trainable_mask
+
+
+def make_sig3d_optimizer(cfg: Config, params, steps_per_epoch: int):
+    """Optimizer with the SIG3D freeze recipe: scene_encoder prefix-frozen
+    (no_update_filter, lib/config.py:61) plus the lang_freeze mask
+    (sep_lang_module_bert.py:25-45)."""
+    return make_optimizer(cfg.train, params, steps_per_epoch,
+                          trainable=sig3d_trainable_mask(cfg, params))
 
 
 class TrainState(struct.PyTreeNode):
@@ -49,7 +57,7 @@ def create_train_state(cfg: Config, model: SIG3D, example_batch,
         {"params": rng, "sample": jax.random.PRNGKey(seed + 1)},
         example_batch, train=False)
     params = variables["params"]
-    tx, _ = make_optimizer(cfg.train, params, steps_per_epoch)
+    tx, _ = make_sig3d_optimizer(cfg, params, steps_per_epoch)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -84,6 +92,8 @@ def make_train_step(cfg: Config, model: SIG3D, tx: optax.GradientTransformation,
         metrics.update(answer_metrics(
             out["answer_scores"], batch["answer_cat_scores"],
             batch.get("question_type")))
+        metrics.update({k: v for k, v in out.items()
+                        if k.startswith("overflow/")})
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
@@ -119,7 +129,7 @@ class Trainer:
         if state is None:
             state = create_train_state(cfg, model, example_batch,
                                        steps_per_epoch, cfg.train.seed)
-        tx, self.schedule = make_optimizer(cfg.train, state.params, steps_per_epoch)
+        tx, self.schedule = make_sig3d_optimizer(cfg, state.params, steps_per_epoch)
         self.tx = tx
         self.state = state
         self.train_step = make_train_step(cfg, model, tx, cfg.train.donate_state)

@@ -160,3 +160,110 @@ def test_qa_utils():
     g = np.asarray(gelu_new(jnp.asarray([0.0, 1.0])))
     np.testing.assert_allclose(g[0], 0.0, atol=1e-7)
     assert 0.8 < g[1] < 0.85
+
+
+def test_votes_and_lfp_modules(rng):
+    """PointnetSAModuleVotes (pooling variants + inds passthrough) and
+    PointnetLFPModuleMSG shapes (pointnet2_modules.py:163-523)."""
+    import jax
+    import jax.numpy as jnp
+
+    from situation3d_tpu.models.pointnet2_modules import (
+        PointnetLFPModuleMSG, PointnetSAModuleVotes)
+
+    B, N = 2, 64
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(B, N, 8).astype(np.float32))
+    for pooling in ("max", "avg", "rbf"):
+        m = PointnetSAModuleVotes(npoint=16, radius=0.5, nsample=8,
+                                  mlp=(11, 16), pooling=pooling,
+                                  normalize_xyz=True)
+        vs = m.init(jax.random.PRNGKey(0), xyz, feats)
+        new_xyz, new_f, inds = m.apply(vs, xyz, feats)
+        assert new_xyz.shape == (B, 16, 3)
+        assert new_f.shape == (B, 16, 16)
+        assert inds.shape == (B, 16)
+        assert np.isfinite(np.asarray(new_f)).all(), pooling
+    # inds passthrough: feeding our own inds must select those points
+    fixed = jnp.tile(jnp.arange(16, dtype=jnp.int32)[None], (B, 1))
+    new_xyz, _, inds2 = m.apply(vs, xyz, feats, inds=fixed)
+    np.testing.assert_array_equal(np.asarray(inds2), np.asarray(fixed))
+    np.testing.assert_allclose(np.asarray(new_xyz),
+                               np.asarray(xyz[:, :16]), rtol=1e-6)
+
+    lfp = PointnetLFPModuleMSG(radii=(0.4, 0.8), nsamples=(8, 8),
+                               mlps=((11, 16), (11, 16)), post_mlp=(20, 12))
+    xyz2 = jnp.asarray(rng.randn(B, 24, 3).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, 24, 4).astype(np.float32))
+    vs = lfp.init(jax.random.PRNGKey(1), xyz2, xyz, f2, feats)
+    out = lfp.apply(vs, xyz2, xyz, f2, feats)
+    assert out.shape == (B, 24, 24)  # 2 scales x post_mlp[-1]=12
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_votenet_detection_end_to_end(rng):
+    """Detection mode is reachable: VoteNet proposals -> detection losses
+    (finite, grads flow) -> parse_predictions -> AP (VERDICT #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from situation3d_tpu.data.scannet_preprocess import ScannetDatasetConfig
+    from situation3d_tpu.eval.detection import (parse_groundtruths,
+                                                parse_predictions)
+    from situation3d_tpu.models.votenet import VoteNet
+    from situation3d_tpu.train.detection_losses import get_detection_loss
+
+    cfg = ScannetDatasetConfig()
+    B, N, K2 = 1, 256, 4
+    model = VoteNet(num_class=cfg.num_class,
+                    num_heading_bin=cfg.num_heading_bin,
+                    num_size_cluster=cfg.num_size_cluster,
+                    mean_size_arr=cfg.mean_size_arr,
+                    num_proposal=8, backbone_npoints=(64, 32, 16, 8))
+    # dense enough that 0.2-0.4 m balls have real neighborhoods (sparse
+    # random clouds make self-only groups whose relative xyz is zero)
+    xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) * 1.2)
+    variables = model.init(jax.random.PRNGKey(0), xyz)
+    out = model.apply(variables, xyz)
+    assert out["seed_xyz"].shape == (B, 32, 3)
+    assert out["seed_inds"].shape == (B, 32)
+    assert int(np.asarray(out["seed_inds"]).max()) < N
+    assert out["vote_xyz"].shape == (B, 32, 3)
+    assert out["center"].shape == (B, 8, 3)
+    assert out["objectness_scores"].shape == (B, 8, 2)
+    assert out["size_residuals"].shape == (B, 8, 18, 3)
+
+    gt = {
+        "vote_label": jnp.asarray(rng.randn(B, N, 9).astype(np.float32) * 0.1),
+        "vote_label_mask": jnp.ones((B, N), jnp.int32),
+        "center_label": jnp.asarray(rng.rand(B, K2, 3).astype(np.float32) * 1.2),
+        "box_label_mask": jnp.asarray(np.array([[1, 1, 1, 0]], np.float32)),
+        "heading_class_label": jnp.zeros((B, K2), jnp.int32),
+        "heading_residual_label": jnp.zeros((B, K2), jnp.float32),
+        "size_class_label": jnp.asarray(rng.randint(0, 18, (B, K2))),
+        "size_residual_label": jnp.asarray(
+            rng.rand(B, K2, 3).astype(np.float32) * 0.2),
+        "sem_cls_label": jnp.asarray(rng.randint(0, 18, (B, K2))),
+    }
+
+    def loss_fn(params):
+        dd = model.apply({**variables, "params": params}, xyz)
+        total, _ = get_detection_loss({**dd, **gt}, cfg)
+        return total
+
+    total, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(total))
+    g = float(jnp.abs(
+        grads["pnet"]["proposal_out"]["kernel"]).sum())
+    assert g > 0
+    gv = float(jnp.abs(grads["vgen"]["out"]["kernel"]).sum())
+    assert gv > 0
+
+    # AP flow
+    dd_np = jax.tree_util.tree_map(np.asarray, model.apply(variables, xyz))
+    preds = parse_predictions(dd_np, cfg, conf_thresh=0.0)
+    gts = parse_groundtruths(jax.tree_util.tree_map(np.asarray, gt), cfg)
+    calc = APCalculator(0.25, cfg.class2type)
+    calc.step(preds, gts)
+    metrics = calc.compute_metrics()
+    assert "mAP" in metrics and 0.0 <= metrics["mAP"] <= 1.0

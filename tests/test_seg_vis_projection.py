@@ -116,3 +116,38 @@ def test_enet_shapes(rng):
     assert feats.shape == (1, 8, 8, 128)
     assert logits.shape == (1, 8, 8, 41)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_segmentation_eval_end_to_end():
+    """Full-decoder segmentation eval wiring (eval.py:234-332):
+    openscene_out @ text_features.T -> mIoU over synthetic labels."""
+    import numpy as np
+
+    from situation3d_tpu.cli.eval import run_segmentation_eval
+    from situation3d_tpu.config import Config, apply_overrides
+    from situation3d_tpu.data.synthetic import make_synthetic_dataset
+
+    cfg = apply_overrides(Config(), [
+        "lang.num_layers=1", "lang.hidden_size=32", "lang.num_heads=2",
+        "lang.intermediate_size=64", "lang.vocab_size=30528",
+        "model.hidden_size=32", "model.mcan_num_heads=2",
+        "model.mcan_num_layers=1",
+        "model.mcan_flat_mlp_size=16", "model.mcan_flat_out_size=24",
+        "model.num_scene_tokens=8", "model.scene_feat_dim=24",
+        "sparse.planes=4,8,12,24,12,12,8,8", "sparse.layers=1,1,1,1,1,1,1,1",
+        "sparse.init_dim=4", "sparse.bottleneck_channels=24",
+        "sparse.capacities=2048,1024,512,256,128",
+        "sparse.out_channels=16",
+        "data.voxel_capacity=2048", "data.num_answers=12",
+        "data.max_text_len=24", "mesh.data_parallel=1",
+    ])
+    ds = make_synthetic_dataset(cfg, 1, 4, split="val", n_points=4000,
+                                include_labels=True)
+    assert "voxel_labels" in ds[0]
+    r = np.random.RandomState(0).randn(20, cfg.sparse.out_channels)
+    tf = r / np.linalg.norm(r, axis=1, keepdims=True)
+    out = run_segmentation_eval(cfg, None, ds, batch_size=4,
+                                text_features=tf, num_answers=12)
+    assert 0.0 <= out["seg_mIoU"] <= 1.0
+    assert 0.0 <= out["seg_accuracy"] <= 1.0
+    assert "seg_iou/0" in out

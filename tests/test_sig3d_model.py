@@ -209,3 +209,59 @@ def test_situated_reencode_forward(model_setup):
                                   model_setup["batch"], jax.random.PRNGKey(2))
     assert not np.allclose(np.asarray(out["answer_scores"]),
                            np.asarray(base["answer_scores"]))
+
+
+def test_lstm_lang_path(model_setup):
+    """lang_model='lstm' routes LangModule through GloVe+LSTM
+    (sep_lang_module_bert.py:48-56, use_bert=False)."""
+    cfg = apply_overrides(tiny_config(), ["model.lang_model=lstm",
+                                          "lang.glove_dim=16"])
+    batch = model_setup["batch"]
+    model = SIG3D(cfg, num_answers=cfg.data.num_answers)
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        b, train=False))(batch)
+    # LSTM path: no transformer layers, an embedding + lstm cell instead
+    enc = variables["params"]["lang_net"]["encoder"]
+    assert "lstm_encoder" in enc and "word_embeddings" in enc
+    assert not any(k.startswith("layer") for k in enc)
+    assert enc["word_embeddings"]["embedding"].shape[1] == 16
+    out = model.apply(variables, batch, train=False,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+    assert out["answer_scores"].shape == (2, cfg.data.num_answers)
+    assert np.isfinite(np.asarray(out["answer_scores"], np.float32)).all()
+
+
+def test_predict_situation_off(model_setup):
+    cfg = apply_overrides(tiny_config(), ["model.predict_situation=false"])
+    batch = model_setup["batch"]
+    model = SIG3D(cfg, num_answers=cfg.data.num_answers)
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        b, train=False))(batch)
+    out = model.apply(variables, batch, train=False,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+    assert "pred_pos_likelihood" not in out and "pred_rotation" not in out
+    assert not any(k.startswith("position_head") or k.startswith("rotation_head")
+                   for k in variables["params"])
+    assert "aux_scores" in out  # the loss-bearing head is independent
+
+
+def test_answer_loss_ce(model_setup):
+    """answer_loss='ce' uses the integer answer_cat target
+    (loss_helper.py:213-227 CE branch)."""
+    cfg = apply_overrides(tiny_config(), ["loss.answer_loss=ce"])
+    out = model_setup["forward"](model_setup["variables"],
+                                 model_setup["batch"], jax.random.PRNGKey(2))
+    batch = dict(model_setup["batch"])
+    cats = np.asarray(batch["answer_cat_scores"])
+    batch["answer_cat"] = jnp.asarray(cats.argmax(-1).astype(np.int32))
+    _, terms_ce = get_loss(out, batch, cfg.loss, cfg.model.situation_loss_tag)
+    _, terms_bce = get_loss(out, batch, tiny_config().loss,
+                            cfg.model.situation_loss_tag)
+    import optax
+    expect = float(jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+        out["answer_scores"], batch["answer_cat"])))
+    assert float(terms_ce["answer_loss"]) == pytest.approx(expect, rel=1e-5)
+    assert float(terms_ce["answer_loss"]) != pytest.approx(
+        float(terms_bce["answer_loss"]), rel=1e-3)

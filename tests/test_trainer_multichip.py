@@ -12,8 +12,8 @@ from situation3d_tpu.data.synthetic import make_synthetic_dataset
 from situation3d_tpu.data.vocab import AnswerVocab, build_answer_vocab
 from situation3d_tpu.models.sig3d import SIG3D
 from situation3d_tpu.parallel.mesh import make_mesh, shard_batch
-from situation3d_tpu.train.optim import make_optimizer
 from situation3d_tpu.train.trainer import (Trainer, create_train_state,
+                                           make_sig3d_optimizer,
                                            make_train_step)
 
 
@@ -97,7 +97,7 @@ def test_train_step_loss_decreases_dp8():
     model = SIG3D(cfg, num_answers=cfg.data.num_answers)
     [batch] = _training_batches(cfg, 1, 8)
     state = create_train_state(cfg, model, batch, steps_per_epoch=100)
-    tx, _ = make_optimizer(cfg.train, state.params, 100)
+    tx, _ = make_sig3d_optimizer(cfg, state.params, 100)
     step = make_train_step(cfg, model, tx, donate=False)
     with mesh:
         b = shard_batch(batch, mesh)
@@ -116,11 +116,15 @@ def test_frozen_scene_encoder():
     model = SIG3D(cfg, num_answers=cfg.data.num_answers)
     [batch] = _training_batches(cfg, 1, 8)
     state = create_train_state(cfg, model, batch, steps_per_epoch=100)
-    tx, _ = make_optimizer(cfg.train, state.params, 100)
+    tx, _ = make_sig3d_optimizer(cfg, state.params, 100)
     step = make_train_step(cfg, model, tx, donate=False)
     before = jax.tree_util.tree_map(np.asarray, state.params["scene_encoder"])
+    # with num_layers=1, layer0 IS the last layer: trainable under the
+    # default lang_freeze="last_layer"; embeddings must stay frozen
     lang_before = np.asarray(
         state.params["lang_net"]["encoder"]["layer0"]["attention"]["q"]["kernel"])
+    emb_before = np.asarray(
+        state.params["lang_net"]["encoder"]["word_embeddings"]["embedding"])
     with mesh:
         b = shard_batch(batch, mesh)
         for _ in range(2):
@@ -130,10 +134,14 @@ def test_frozen_scene_encoder():
     flat_a = [np.asarray(x) for x in jax.tree_util.tree_leaves(after)]
     for x, y in zip(flat_b, flat_a):
         np.testing.assert_array_equal(x, y)
-    # but the language encoder did move
+    # the last (here: only) bert layer did move, the embeddings did not
+    # (finetune_bert_last_layer, sep_lang_module_bert.py:33-40)
     lang_after = np.asarray(
         state.params["lang_net"]["encoder"]["layer0"]["attention"]["q"]["kernel"])
     assert not np.allclose(lang_before, lang_after)
+    np.testing.assert_array_equal(
+        emb_before,
+        np.asarray(state.params["lang_net"]["encoder"]["word_embeddings"]["embedding"]))
 
 
 def test_trainer_fit_and_evaluate(tmp_path):
