@@ -128,8 +128,17 @@ def bench_blip2_decode(extra):
     }
     init_batch = {**batch, "labels": jnp.zeros((B, 4), jnp.int32),
                   "label_mask": jnp.ones((B, 4), jnp.int32)}
-    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b))(
-        init_batch)
+    # flan-t5-xl (~3B params) cannot init in f32 on a 16 GB chip
+    # (RESOURCE_EXHAUSTED): materialize the param tree directly in bf16.
+    # Values don't affect decode wall-time, and all-zero logits never emit
+    # EOS, so the greedy while_loop runs the full max_len — a conservative
+    # timing.
+    shapes = jax.eval_shape(
+        lambda b: model.init(jax.random.PRNGKey(0), b), init_batch)
+    variables = jax.jit(lambda: jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16
+                            if s.dtype == jnp.float32 else s.dtype),
+        shapes))()
     gen = jax.jit(lambda v, b: predict_answers(model, v, b, max_len))
     dt = time_fn(gen, variables, batch, iters=3)
     toks = B * max_len

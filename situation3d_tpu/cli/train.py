@@ -27,6 +27,10 @@ def parse_args(argv=None):
                    help="dot-key overrides, e.g. train.lr=1e-4")
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic data (hermetic smoke runs)")
+    p.add_argument("--dataset-config", default=None,
+                   help="LAVIS-style dataset yaml (datasets: <name>: "
+                        "build_info: ...) resolved through the builder "
+                        "registry (data/builders.py)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in train.ckpt_dir "
@@ -47,7 +51,11 @@ def main(argv=None) -> None:
 
     task = setup_task("3d_vqa" if args.task == "stage1" else args.task,
                       cfg, synthetic=args.synthetic)
-    datasets = task.build_datasets()
+    if args.dataset_config:
+        from situation3d_tpu.data.builders import build_datasets_from_yaml
+        datasets = build_datasets_from_yaml(cfg, args.dataset_config)
+    else:
+        datasets = task.build_datasets()
 
     from situation3d_tpu.config import to_dict
     from situation3d_tpu.train.logging import MetricWriter

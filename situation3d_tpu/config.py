@@ -68,6 +68,9 @@ class SparseConfig:
     # measured slower than the gather path on v5e (5.39 -> 4.35 samples/s);
     # kept as an option for hardware where conv3d wins.
     dense_conv_min_stride: int = 0
+    # serve conv gathers from a VMEM-resident Pallas kernel where the table
+    # fits (ops/pallas/gather.py) instead of XLA's ~13 GB/s gather engine.
+    pallas_gather: bool = False
 
 
 @dataclass
@@ -158,6 +161,12 @@ class TrainConfig:
     frozen_prefixes: Tuple[str, ...] = ("scene_encoder",)  # no_update_filter openscene_net
     bf16: bool = True
     donate_state: bool = True
+    # NaN guard: the TPU analogue of the reference's always-on
+    # torch.autograd.set_detect_anomaly(True) (solver.py:374) — checks all
+    # gradients for non-finite values each step, zeroes them (skipping the
+    # update) and reports grads_finite in the metrics. One fused reduction
+    # per leaf; negligible next to the conv work.
+    nan_guard: bool = True
 
 
 @dataclass

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from situation3d_tpu.config import QFormerConfig
 from situation3d_tpu.models.qformer import NEG_INF, BertSelfAttentionOut
 from situation3d_tpu.train.contrastive import itc_loss, itm_loss, lm_loss
+from situation3d_tpu.utils.registry import registry
 
 
 class QFormerTextLayer(nn.Module):
@@ -133,6 +134,7 @@ class QFormerTextModel(nn.Module):
         return hidden
 
 
+@registry.register_model("blip2")
 class Blip2Qformer(nn.Module):
     """Stage-1 model: scene features + captions -> ITC/ITM/LM losses."""
     cfg: QFormerConfig
@@ -177,6 +179,38 @@ class Blip2Qformer(nn.Module):
         t = self.qformer(text_ids=text_ids, text_mask=text_mask,
                          use_query=False, deterministic=deterministic)
         return t
+
+    # -- retrieval surface (blip2_qformer.py:290-328) ----------------------
+    def forward_image(self, image_embeds, image_mask):
+        """Query outputs + the raw encoder states (blip2_qformer.py:290-302)."""
+        q = self.encode_image(image_embeds, image_mask)
+        return q, image_embeds
+
+    def forward_text(self, text_ids, text_mask):
+        """Text CLS hidden state (blip2_qformer.py:304-310)."""
+        return self.encode_text(text_ids, text_mask)[:, 0]
+
+    def compute_itm(self, image_inputs, image_mask, text_ids, text_mask):
+        """ITM match logit per (image, text) pair: joint [query ; text]
+        encoding, 2-way head, positive-class logit averaged over the query
+        outputs (blip2_qformer.py:312-328)."""
+        mm = self.qformer(enc_states=image_inputs, enc_mask=image_mask,
+                          text_ids=text_ids, text_mask=text_mask,
+                          use_query=True)
+        logits = self.itm_head(mm[:, :self.cfg.num_query_tokens])
+        return jnp.mean(logits[:, :, 1], axis=1)
+
+    def itc_projections(self, image_embeds, image_mask, text_ids, text_mask):
+        """Normalized (image_feats [B,Q,D], text_feat [B,D]) for similarity
+        ranking (blip2_qformer.py:149-172)."""
+        def _norm(x):
+            return x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        q = self.encode_image(image_embeds, image_mask)
+        img = _norm(self.vision_proj(q).astype(jnp.float32))
+        t = self.encode_text(text_ids, text_mask)[:, 0]
+        txt = _norm(self.text_proj(t).astype(jnp.float32))
+        return img, txt
 
     def __call__(self, batch: Dict[str, Any], train: bool = False,
                  negatives_axis: Optional[str] = None) -> Dict[str, Any]:

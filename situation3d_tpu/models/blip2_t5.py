@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from situation3d_tpu.config import Blip2Config
+from situation3d_tpu.utils.registry import registry
 from situation3d_tpu.models.positional import (
     voxel_position_embedding,
     voxel_position_table,
@@ -41,6 +42,7 @@ from situation3d_tpu.models.t5 import (
 )
 
 
+@registry.register_model("blip2_t5")
 class Blip2T5(nn.Module):
     cfg: Blip2Config
     dtype: jnp.dtype = jnp.float32

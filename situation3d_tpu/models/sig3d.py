@@ -38,6 +38,7 @@ from situation3d_tpu.models.mcan import SA, SGA, AttFlat
 from situation3d_tpu.ops.voxelize import voxelize_jax
 from situation3d_tpu.sparse.minkunet import MinkUNet, build_unet_plan
 from situation3d_tpu.sparse.tensor import SparseVoxels
+from situation3d_tpu.utils.registry import registry
 
 ROT_DIMS = {"__quat__": 4, "__angle__": 2, "__6d__": 6}
 
@@ -88,6 +89,7 @@ def situated_token_pool(
     return tok_feats, positions
 
 
+@registry.register_model("sig3d")
 class SIG3D(nn.Module):
     """Full SIG3D model. ``__call__`` takes a fixed-shape batch dict:
 

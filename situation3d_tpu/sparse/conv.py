@@ -28,6 +28,7 @@ def sparse_conv_apply(
     kernel: jnp.ndarray,
     offset_chunk: Optional[int] = None,
     precision=None,
+    pallas_gather: bool = False,
 ) -> jnp.ndarray:
     """Gather-matmul sparse convolution.
 
@@ -37,6 +38,8 @@ def sparse_conv_apply(
       kernel:  [K, C_in, C_out] weights.
       offset_chunk: offsets per fused matmul; default targets a >=256-wide
         contraction for the MXU.
+      pallas_gather: serve the gathers from a VMEM-resident Pallas kernel
+        when the table fits (ops/pallas/gather.py); XLA otherwise.
 
     Returns [B, V_out, C_out] (float32 accumulated, cast back to feats.dtype).
     """
@@ -50,6 +53,29 @@ def sparse_conv_apply(
         # at small C_in is irrelevant there
         offset_chunk = 1
     padded = jnp.concatenate([feats, jnp.zeros((B, 1, C_in), feats.dtype)], axis=1)
+
+    if pallas_gather:
+        from situation3d_tpu.ops.pallas.gather import (gather_fits_vmem,
+                                                       vmem_gather_rows)
+        if gather_fits_vmem(V_in + 1, C_in):
+            # one kernel call serves all K offsets from the VMEM-resident
+            # table; offset-major index order keeps per-offset slices
+            # contiguous (no relayout before the matmuls)
+            blk = 256
+            idx_t = nbr_idx.transpose(0, 2, 1).reshape(B, K * V_out)
+            pad = (-idx_t.shape[1]) % blk
+            if pad:
+                idx_t = jnp.pad(idx_t, ((0, 0), (0, pad)),
+                                constant_values=V_in)
+            g_all = vmem_gather_rows(padded.astype(jnp.float32), idx_t, blk)
+            g_all = g_all[:, : K * V_out].reshape(B, K, V_out, C_in)
+            out = jnp.zeros((B, V_out, kernel.shape[-1]), jnp.float32)
+            for k in range(K):
+                out = out + jnp.einsum(
+                    "bvc,cd->bvd", g_all[:, k].astype(feats.dtype),
+                    kernel[k].astype(feats.dtype),
+                    preferred_element_type=jnp.float32, precision=precision)
+            return out.astype(feats.dtype)
 
     out = jnp.zeros((B, V_out, kernel.shape[-1]), jnp.float32)
     for start in range(0, K, offset_chunk):
@@ -81,6 +107,7 @@ class SparseConv(nn.Module):
     # dense-grid path for same-stride k3 convs at coarse strides (see
     # sparse_conv_dense_grid); requires out coords == in coords
     dense_grid_extent: Optional[tuple] = None
+    pallas_gather: bool = False
 
     @nn.compact
     def __call__(self, x: SparseVoxels, nbr_idx, out_coords, out_mask, out_stride) -> SparseVoxels:
@@ -97,7 +124,8 @@ class SparseConv(nn.Module):
                 x.feats.astype(self.dtype), x.coords, x.mask, x.stride,
                 kernel, self.dense_grid_extent)
         else:
-            out = sparse_conv_apply(x.feats.astype(self.dtype), nbr_idx, kernel)
+            out = sparse_conv_apply(x.feats.astype(self.dtype), nbr_idx, kernel,
+                                    pallas_gather=self.pallas_gather)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
             out = out + bias.astype(out.dtype)

@@ -147,12 +147,14 @@ class BasicBlock(nn.Module):
     kernel_volume: int = 27
     dtype: jnp.dtype = jnp.float32
     dense_grid_extent: tuple = None
+    pallas_gather: bool = False
 
     @nn.compact
     def __call__(self, x: SparseVoxels, nbr_idx, train: bool, momentum=None) -> SparseVoxels:
         residual = x
         out = SparseConv(self.planes, self.kernel_volume, dtype=self.dtype,
-                         dense_grid_extent=self.dense_grid_extent, name="conv1")(
+                         dense_grid_extent=self.dense_grid_extent,
+                         pallas_gather=self.pallas_gather, name="conv1")(
             x, nbr_idx, x.coords, x.mask, x.stride
         )
         out = SparseBatchNorm(dtype=self.dtype, name="norm1")(
@@ -160,7 +162,8 @@ class BasicBlock(nn.Module):
         )
         out = sparse_relu(out)
         out = SparseConv(self.planes, self.kernel_volume, dtype=self.dtype,
-                         dense_grid_extent=self.dense_grid_extent, name="conv2")(
+                         dense_grid_extent=self.dense_grid_extent,
+                         pallas_gather=self.pallas_gather, name="conv2")(
             out, nbr_idx, out.coords, out.mask, out.stride
         )
         out = SparseBatchNorm(dtype=self.dtype, name="norm2")(
@@ -179,12 +182,14 @@ class ResLayer(nn.Module):
     num_blocks: int
     dtype: jnp.dtype = jnp.float32
     dense_grid_extent: tuple = None
+    pallas_gather: bool = False
 
     @nn.compact
     def __call__(self, x, nbr_idx, train, momentum=None):
         for i in range(self.num_blocks):
             x = BasicBlock(self.planes, dtype=self.dtype,
                            dense_grid_extent=self.dense_grid_extent,
+                           pallas_gather=self.pallas_gather,
                            name=f"block{i}")(x, nbr_idx, train, momentum)
         return x
 
@@ -208,7 +213,8 @@ class MinkUNet(nn.Module):
         dt = self.dtype
 
         def conv(name, out_ch, kvol, src, nbr, lvl, stride):
-            return SparseConv(out_ch, kvol, dtype=dt, name=name)(
+            return SparseConv(out_ch, kvol, dtype=dt, name=name,
+                              pallas_gather=cfg.pallas_gather)(
                 src, nbr, lvl["coords"], lvl["mask"], stride
             )
 
@@ -232,46 +238,46 @@ class MinkUNet(nn.Module):
 
         h = conv("conv1p1s2", cfg.init_dim, 8, h, L[1]["map_down"], L[1], 2)
         h = sparse_relu(bn("bn1", h))
-        h = ResLayer(cfg.planes[0], cfg.layers[0], dt, dense_ext(2), name="block1")(h, L[1]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[0], cfg.layers[0], dt, dense_ext(2), cfg.pallas_gather, name="block1")(h, L[1]["map_k3"], train, momentum)
         out_b1p2 = h
 
         h = conv("conv2p2s2", h.num_channels, 8, h, L[2]["map_down"], L[2], 4)
         h = sparse_relu(bn("bn2", h))
-        h = ResLayer(cfg.planes[1], cfg.layers[1], dt, dense_ext(4), name="block2")(h, L[2]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[1], cfg.layers[1], dt, dense_ext(4), cfg.pallas_gather, name="block2")(h, L[2]["map_k3"], train, momentum)
         out_b2p4 = h
 
         h = conv("conv3p4s2", h.num_channels, 8, h, L[3]["map_down"], L[3], 8)
         h = sparse_relu(bn("bn3", h))
-        h = ResLayer(cfg.planes[2], cfg.layers[2], dt, dense_ext(8), name="block3")(h, L[3]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[2], cfg.layers[2], dt, dense_ext(8), cfg.pallas_gather, name="block3")(h, L[3]["map_k3"], train, momentum)
         out_b3p8 = h
 
         h = conv("conv4p8s2", h.num_channels, 8, h, L[4]["map_down"], L[4], 16)
         h = sparse_relu(bn("bn4", h))
-        h = ResLayer(cfg.planes[3], cfg.layers[3], dt, dense_ext(16), name="block4")(h, L[4]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[3], cfg.layers[3], dt, dense_ext(16), cfg.pallas_gather, name="block4")(h, L[4]["map_k3"], train, momentum)
         out["feat_bottleneck"] = h  # stride 16, 256 ch (sqa_module.py:292 input)
 
         h = conv("convtr4p16s2", cfg.planes[4], 8, h, L[3]["map_up"], L[3], 8)
         h = sparse_relu(bn("bntr4", h))
         h = h.cat(out_b3p8)
-        h = ResLayer(cfg.planes[4], cfg.layers[4], dt, dense_ext(8), name="block5")(h, L[3]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[4], cfg.layers[4], dt, dense_ext(8), cfg.pallas_gather, name="block5")(h, L[3]["map_k3"], train, momentum)
         out["feat_layer5"] = h
 
         h = conv("convtr5p8s2", cfg.planes[5], 8, h, L[2]["map_up"], L[2], 4)
         h = sparse_relu(bn("bntr5", h))
         h = h.cat(out_b2p4)
-        h = ResLayer(cfg.planes[5], cfg.layers[5], dt, dense_ext(4), name="block6")(h, L[2]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[5], cfg.layers[5], dt, dense_ext(4), cfg.pallas_gather, name="block6")(h, L[2]["map_k3"], train, momentum)
         out["feat_layer6"] = h
 
         if self.final_result:
             h = conv("convtr6p4s2", cfg.planes[6], 8, h, L[1]["map_up"], L[1], 2)
             h = sparse_relu(bn("bntr6", h))
             h = h.cat(out_b1p2)
-            h = ResLayer(cfg.planes[6], cfg.layers[6], dt, dense_ext(2), name="block7")(h, L[1]["map_k3"], train, momentum)
+            h = ResLayer(cfg.planes[6], cfg.layers[6], dt, dense_ext(2), cfg.pallas_gather, name="block7")(h, L[1]["map_k3"], train, momentum)
 
             h = conv("convtr7p2s2", cfg.planes[7], 8, h, L[0]["map_up"], L[0], 1)
             h = sparse_relu(bn("bntr7", h))
             h = h.cat(out_p1)
-            h = ResLayer(cfg.planes[7], cfg.layers[7], dt, dense_ext(1), name="block8")(h, L[0]["map_k3"], train, momentum)
+            h = ResLayer(cfg.planes[7], cfg.layers[7], dt, dense_ext(1), cfg.pallas_gather, name="block8")(h, L[0]["map_k3"], train, momentum)
             out["openscene_out"] = SparseConv1x1(
                 cfg.out_channels, use_bias=True, dtype=dt, name="final"
             )(h)

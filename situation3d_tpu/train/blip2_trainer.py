@@ -56,16 +56,22 @@ def make_blip2_optimizer(cfg: Config, params, steps_per_epoch: int):
 
 
 def make_blip2_train_step(model: Blip2T5, tx: optax.GradientTransformation,
-                          donate: bool = True) -> Callable:
+                          donate: bool = True, nan_guard: bool = True
+                          ) -> Callable:
     def train_step(state: Blip2TrainState, batch):
         def loss_fn(p):
             return model.apply({"params": p}, batch, train=True)["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        metrics = {"loss": loss}
+        if nan_guard:
+            from situation3d_tpu.train.trainer import finite_guard
+            grads, finite = finite_guard(grads)
+            metrics["grads_finite"] = finite.astype(jnp.float32)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
-                             opt_state=opt_state), {"loss": loss}
+                             opt_state=opt_state), metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
@@ -94,7 +100,8 @@ class Blip2Trainer:
         self.state = state
         self.trainable = blip2_trainable_mask(cfg, state.params)
         self.train_step = make_blip2_train_step(model, tx,
-                                                cfg.train.donate_state)
+                                                cfg.train.donate_state,
+                                                nan_guard=cfg.train.nan_guard)
         self._predict = jax.jit(lambda p, b: predict_answers(
             model, {"params": p}, b, cfg.eval.max_gen_len))
         self.ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg.train.ckpt_keep,
@@ -150,6 +157,8 @@ class Blip2Trainer:
         step = int(self.state.step)
         last_val = -1
         t0 = time.perf_counter()
+        from situation3d_tpu.train.logging import MetricLogger
+        meter = MetricLogger()  # windowed smoothing (logger.py:19-78)
         with self.mesh:
             for batch in train_iter:
                 if step >= limit:
@@ -160,7 +169,9 @@ class Blip2Trainer:
                 self.state, metrics = self.train_step(self.state, batch)
                 step += 1
                 if step % cfg.log_every_steps == 0:
-                    host = {"loss": float(metrics["loss"]),
+                    meter.update(loss=float(metrics["loss"]))
+                    host = {"loss": meter.meters["loss"].value,
+                            "loss_smoothed": meter.meters["loss"].median,
                             "lr": float(self.schedule(step)),
                             "time/step": (time.perf_counter() - t0)
                             / cfg.log_every_steps}

@@ -13,11 +13,14 @@ as ``time/*`` metrics for continuity).
 """
 from __future__ import annotations
 
+import collections
 import contextlib
+import datetime
 import json
 import logging
 import os
-from typing import Dict, Optional, Tuple
+import time
+from typing import Dict, Iterable, Optional, Tuple
 
 
 class MetricWriter:
@@ -61,6 +64,121 @@ class MetricWriter:
             self._wandb.finish()
         if self._tb is not None:
             self._tb.close()
+
+
+class SmoothedValue:
+    """Windowed metric smoothing (``lavis/common/logger.py:19-78``): tracks
+    a deque of the last ``window_size`` values plus global totals; exposes
+    median/avg over the window, global_avg, max and the latest value. The
+    reference's ``synchronize_between_processes`` all_reduce of the global
+    (count, total) becomes a host-side ``process_allgather`` sum."""
+
+    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
+        self.deque = collections.deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value: float, n: int = 1) -> None:
+        self.deque.append(float(value))
+        self.count += n
+        self.total += float(value) * n
+
+    def synchronize_between_processes(self) -> None:
+        import jax
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+        import numpy as np
+        both = multihost_utils.process_allgather(
+            np.asarray([self.count, self.total], np.float64))
+        self.count = int(both[:, 0].sum())
+        self.total = float(both[:, 1].sum())
+
+    @property
+    def median(self) -> float:
+        s = sorted(self.deque)
+        return s[len(s) // 2] if s else 0.0
+
+    @property
+    def avg(self) -> float:
+        return sum(self.deque) / len(self.deque) if self.deque else 0.0
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+    @property
+    def max(self) -> float:
+        return max(self.deque) if self.deque else 0.0
+
+    @property
+    def value(self) -> float:
+        return self.deque[-1] if self.deque else 0.0
+
+    def __str__(self) -> str:
+        return self.fmt.format(median=self.median, avg=self.avg,
+                               global_avg=self.global_avg, max=self.max,
+                               value=self.value)
+
+
+class MetricLogger:
+    """``lavis/common/logger.py:81-175`` analogue: named SmoothedValues +
+    ``log_every`` iterator printing iter/data time and ETA (the CUDA
+    max-memory column is dropped; device memory is in the xprof trace)."""
+
+    def __init__(self, delimiter: str = "  ", window_size: int = 20):
+        self.meters: Dict[str, SmoothedValue] = collections.defaultdict(
+            lambda: SmoothedValue(window_size))
+        self.delimiter = delimiter
+        self._logger = logging.getLogger("situation3d_tpu.metrics")
+
+    def update(self, **kwargs) -> None:
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, name: str):
+        if name in self.meters:
+            return self.meters[name]
+        raise AttributeError(name)
+
+    def synchronize_between_processes(self) -> None:
+        for m in self.meters.values():
+            m.synchronize_between_processes()
+
+    def global_avg(self) -> Dict[str, float]:
+        return {k: m.global_avg for k, m in self.meters.items()}
+
+    def __str__(self) -> str:
+        return self.delimiter.join(
+            f"{k}: {m}" for k, m in self.meters.items())
+
+    def log_every(self, iterable: Iterable, print_freq: int,
+                  header: str = "") -> Iterable:
+        i = 0
+        total = len(iterable) if hasattr(iterable, "__len__") else None
+        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        data_time = SmoothedValue(fmt="{avg:.4f}")
+        start = time.time()
+        end = start
+        for obj in iterable:
+            data_time.update(time.time() - end)
+            yield obj
+            iter_time.update(time.time() - end)
+            if i % print_freq == 0:
+                if total:
+                    eta = str(datetime.timedelta(
+                        seconds=int(iter_time.global_avg * (total - i))))
+                    self._logger.info(
+                        "%s [%d/%d] eta: %s %s time: %s data: %s", header, i,
+                        total, eta, self, iter_time, data_time)
+                else:
+                    self._logger.info("%s [%d] %s time: %s data: %s",
+                                      header, i, self, iter_time, data_time)
+            i += 1
+            end = time.time()
+        self._logger.info("%s Total time: %s", header, str(
+            datetime.timedelta(seconds=int(time.time() - start))))
 
 
 @contextlib.contextmanager

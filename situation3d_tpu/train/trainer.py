@@ -67,6 +67,19 @@ def create_train_state(cfg: Config, model: SIG3D, example_batch,
     )
 
 
+def finite_guard(grads):
+    """Zero every gradient when ANY leaf holds a non-finite value, so one
+    bad step is skipped rather than poisoning params + Adam moments.
+    Deterministic replacement for the reference's set_detect_anomaly
+    (solver.py:374). Returns (guarded grads, finite flag)."""
+    finite = jnp.ones((), bool)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(leaf)))
+    guarded = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+    return guarded, finite
+
+
 def make_train_step(cfg: Config, model: SIG3D, tx: optax.GradientTransformation,
                     donate: bool = True) -> Callable:
     tag = cfg.model.situation_loss_tag
@@ -84,11 +97,16 @@ def make_train_step(cfg: Config, model: SIG3D, tx: optax.GradientTransformation,
 
         (loss, (terms, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        extra = {}
+        if cfg.train.nan_guard:
+            grads, finite = finite_guard(grads)
+            extra["grads_finite"] = finite.astype(jnp.float32)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng)
         metrics = dict(terms)
+        metrics.update(extra)
         metrics.update(answer_metrics(
             out["answer_scores"], batch["answer_cat_scores"],
             batch.get("question_type")))

@@ -116,6 +116,15 @@ def test_enet_shapes(rng):
     assert feats.shape == (1, 8, 8, 128)
     assert logits.shape == (1, 8, 8, 41)
     assert np.isfinite(np.asarray(feats)).all()
+    # create_enet_for_3d split (lib/enet.py:697-716): frozen trunk /
+    # trainable stage 3 (8 bottlenecks) / classifier
+    from situation3d_tpu.models.enet import enet_trainable_paths
+    params = vs["params"]
+    assert set(params) == {"fixed", "trainable", "classifier"}
+    assert len(params["trainable"]) == 8
+    assert not enet_trainable_paths(("fixed", "bottleneck2_1"))
+    assert enet_trainable_paths(("trainable", "bottleneck3_0"))
+    assert enet_trainable_paths(("classifier",))
 
 
 def test_segmentation_eval_end_to_end():
