@@ -106,6 +106,9 @@ void s3d_kernel_map(const int32_t* in_coords, int64_t n_in, int32_t in_stride,
                       in_coords[3 * i + 2] / in_stride),
                  i);
   }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
   for (int64_t j = 0; j < n_out; ++j) {
     for (int32_t o = 0; o < k; ++o) {
       int32_t q[3];

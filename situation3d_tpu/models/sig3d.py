@@ -121,7 +121,20 @@ class SIG3D(nn.Module):
             batch["s_ids"], batch["s_mask"], batch["q_ids"], batch["q_mask"], det)
 
         # ---- vision branch ----------------------------------------------
-        if not mc.no_3d:
+        have_tokens = False
+        if "scene_tokens" in batch:
+            # multi-question serving: the scene tower (plan + MinkUNet +
+            # situated pooling — the expensive, gather-bound half) ran once
+            # per scene; this pass reuses its pooled tokens. The reference
+            # eval loop recomputes the full tower per question
+            # (eval.py:287-290, batch=1) — scene reuse is a framework-level
+            # serving capability. See eval/serving.py.
+            tok_feats = batch["scene_tokens"].astype(self.dtype)
+            positions = batch["scene_token_positions"]
+            out["scene_positions"] = positions
+            out["att_feat_pre"] = tok_feats
+            have_tokens = True
+        elif not mc.no_3d:
             x = SparseVoxels(coords=batch["voxel_coords"],
                              feats=batch["voxel_feats"].astype(self.dtype),
                              mask=batch["voxel_mask"], stride=1)
@@ -153,7 +166,9 @@ class SIG3D(nn.Module):
             )(bott.coords, bott.feats, bott.mask, keys)
             out["scene_positions"] = positions
             out["att_feat_pre"] = tok_feats
+            have_tokens = True
 
+        if have_tokens:
             pe_positions = positions
             if mc.situated_reencode:
                 # situated re-encoding: express token positions in the
@@ -195,7 +210,7 @@ class SIG3D(nn.Module):
         lang_feat_linear = nn.Dense(H, dtype=self.dtype, name="lang_feat_linear")
         s_feat = nn.gelu(lang_feat_linear(s_out), approximate=False)
         q_feat = nn.gelu(lang_feat_linear(q_out), approximate=False)
-        if not mc.no_3d:
+        if have_tokens:
             scene_feat = nn.Dense(H, dtype=self.dtype, name="scene_feat_linear")(scene_feat)
             scene_feat = nn.gelu(scene_feat, approximate=False)
 
@@ -206,7 +221,7 @@ class SIG3D(nn.Module):
         for i in range(mc.mcan_num_layers):
             q_feat = SA(H, mc.mcan_num_heads, mc.mcan_dropout, self.dtype,
                         name=f"enc_q{i}")(q_feat, q_pad, det)
-        if not mc.no_3d:
+        if have_tokens:
             for i in range(mc.mcan_num_layers):
                 scene_feat = SGA(H, mc.mcan_num_heads, mc.mcan_dropout, self.dtype,
                                  name=f"dec_s{i}")(scene_feat, s_feat, None, s_pad, det)
@@ -236,7 +251,7 @@ class SIG3D(nn.Module):
                     flat_out_size=mc.mcan_flat_out_size, dtype=self.dtype)
         s_flat, out["satt"] = AttFlat(**flat, name="attflat_s")(s_feat, s_pad, det)
         q_flat, out["qatt"] = AttFlat(**flat, name="attflat_q")(q_feat, q_pad, det)
-        if not mc.no_3d:
+        if have_tokens:
             v_flat, out["oatt"] = AttFlat(**flat, name="attflat_visual")(
                 scene_feat, None, det)
             fuse = jnp.concatenate([s_flat, q_flat, v_flat], axis=1)
@@ -249,7 +264,7 @@ class SIG3D(nn.Module):
             x = nn.Dropout(pdrop)(x, deterministic=det)
             return nn.Dense(outd, dtype=self.dtype, name=f"{name}_fc2")(x)
 
-        if mc.use_situation and not mc.no_3d:
+        if mc.use_situation and have_tokens:
             if "__class__" in tag:
                 out["aux_scores"] = head(scene_feat, H, 1 + rot, 0.1, "aux_cls")
             else:

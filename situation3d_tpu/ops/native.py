@@ -33,7 +33,7 @@ def ensure_built(rebuild: bool = False) -> bool:
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
-                 "-shared", "-o", _SO_PATH, src],
+                 "-fopenmp", "-shared", "-o", _SO_PATH, src],
                 check=True, capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError):
             return False

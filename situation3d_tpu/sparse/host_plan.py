@@ -99,8 +99,16 @@ def stack_plans(plans) -> Dict[str, Any]:
 
 
 def build_host_plan(coords: np.ndarray, mask: np.ndarray,
-                    capacities: Sequence[int]) -> Dict[str, Any]:
-    """Batched host plan for coords [B, V, 3] + mask [B, V]."""
-    plans = [build_host_plan_sample(coords[b], int(mask[b].sum()), capacities)
-             for b in range(len(coords))]
+                    capacities: Sequence[int],
+                    max_workers: int = 8) -> Dict[str, Any]:
+    """Batched host plan for coords [B, V, 3] + mask [B, V].
+
+    Samples build in a thread pool — the ctypes calls into the C++ builder
+    release the GIL, and the probe loops are OpenMP-parallel besides."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(coords))) as ex:
+        plans = list(ex.map(
+            lambda b: build_host_plan_sample(
+                coords[b], int(mask[b].sum()), capacities),
+            range(len(coords))))
     return stack_plans(plans)

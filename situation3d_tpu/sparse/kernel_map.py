@@ -166,6 +166,117 @@ def lookup_kernel_map_dense(
     return jnp.where(valid, grid[qflat], v_in).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("in_stride", "extent", "pad"))
+def build_level_grid_padded(
+    in_coords: jnp.ndarray,
+    in_mask: jnp.ndarray,
+    in_stride: int,
+    extent: Tuple[int, int, int],
+    pad: int = 2,
+) -> jnp.ndarray:
+    """Dense index grid with a ``pad``-cell sentinel ring on every face.
+
+    The ring makes whole-neighborhood *block* gathers
+    (:func:`lookup_kernel_map_block`) exact at the boundary: any query that
+    steps outside the true extent lands in the ring and reads the miss
+    sentinel — no per-offset range mask needed. ``pad=2`` covers kernel 5.
+
+    Returns ``(grid [(dx+2p)*(dy+2p)*(dz+2p)], extent_misses)``.
+    """
+    v_in = in_coords.shape[0]
+    dx, dy, dz = (e // in_stride for e in extent)
+    dyp, dzp = dy + 2 * pad, dz + 2 * pad
+    c = in_coords // in_stride
+    in_extent = ((c[:, 0] < dx) & (c[:, 1] < dy) & (c[:, 2] < dz)
+                 & jnp.all(c >= 0, axis=-1))
+    flat = ((c[:, 0] + pad) * dyp + (c[:, 1] + pad)) * dzp + (c[:, 2] + pad)
+    total = (dx + 2 * pad) * dyp * dzp
+    write = jnp.where(in_mask & in_extent, flat, total)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (v_in, 1), 0).squeeze(-1)
+    grid = jnp.full((total,), jnp.int32(v_in))
+    extent_misses = jnp.sum((in_mask & ~in_extent).astype(jnp.int32))
+    return grid.at[write].set(idx, mode="drop"), extent_misses
+
+
+@partial(jax.jit, static_argnames=("ksize", "min_off", "in_stride", "extent",
+                                   "pad"))
+def lookup_kernel_map_block(
+    grid: jnp.ndarray,
+    v_in: int,
+    out_coords: jnp.ndarray,
+    out_mask: jnp.ndarray,
+    ksize: int,
+    min_off: int,
+    in_stride: int,
+    extent: Tuple[int, int, int],
+    pad: int = 2,
+) -> jnp.ndarray:
+    """Kernel map via one (k, k, k) block gather per output voxel.
+
+    Requires the kernel's offsets to step one input-grid cell per axis —
+    true for the same-stride odd kernels (k3/k5, offsets*stride == one
+    cell) and the strided kernel-2 down maps. One ``lax.gather`` row of
+    k^3 contiguous cells replaces k^3 single-element gathers; measured
+    ~70 M single rows/s on v5e made the elementwise path the dominant
+    plan cost (k5 at V=49152, B=8: 734 ms -> block path ~ms scale).
+
+    Args:
+      grid: padded flat grid from :func:`build_level_grid_padded`.
+      ksize/min_off: kernel size and minimum offset in cells (odd k:
+        -(k-1)//2; k2 down maps: 0).
+    Returns int32 [V_out, ksize^3] in kernel_offsets order (x slowest).
+    """
+    dx, dy, dz = (e // in_stride for e in extent)
+    dxp, dyp, dzp = dx + 2 * pad, dy + 2 * pad, dz + 2 * pad
+    grid3 = grid.reshape(dxp, dyp, dzp)
+    qc = out_coords // in_stride
+    # out-of-extent voxels (already counted as extent_misses at grid build)
+    # get all-miss rows; masked rows carry zeros -> start in bounds
+    row_ok = out_mask & jnp.all(qc >= 0, axis=-1) \
+        & (qc[:, 0] < dx) & (qc[:, 1] < dy) & (qc[:, 2] < dz)
+    starts = jnp.clip(qc + (pad + min_off), 0, jnp.asarray(
+        [dxp - ksize, dyp - ksize, dzp - ksize], jnp.int32))
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2))
+    blocks = jax.lax.gather(
+        grid3, starts, dn, slice_sizes=(ksize, ksize, ksize),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    blocks = blocks.reshape(out_coords.shape[0], ksize ** 3)
+    return jnp.where(row_ok[:, None], blocks, v_in).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("in_stride", "offset_stride", "extent",
+                                   "pad"))
+def lookup_kernel_map_dense_padded(
+    grid: jnp.ndarray,
+    v_in: int,
+    out_coords: jnp.ndarray,
+    out_mask: jnp.ndarray,
+    offsets: jnp.ndarray,
+    in_stride: int,
+    offset_stride: int,
+    extent: Tuple[int, int, int],
+    pad: int = 2,
+) -> jnp.ndarray:
+    """Elementwise kernel map against the *padded* grid — for kernels whose
+    offsets don't step whole input cells (the mirrored k2 transpose-conv
+    up maps, offsets of half an input cell)."""
+    dx, dy, dz = (e // in_stride for e in extent)
+    dyp, dzp = dy + 2 * pad, dz + 2 * pad
+    q = out_coords[:, None, :] + offsets[None, :, :] * offset_stride
+    divisible = jnp.all(q % in_stride == 0, axis=-1)
+    qc = q // in_stride
+    in_range = ((qc[..., 0] >= 0) & (qc[..., 0] < dx)
+                & (qc[..., 1] >= 0) & (qc[..., 1] < dy)
+                & (qc[..., 2] >= 0) & (qc[..., 2] < dz))
+    valid = divisible & in_range & out_mask[:, None]
+    qflat = ((qc[..., 0] + pad) * dyp + (qc[..., 1] + pad)) * dzp \
+        + (qc[..., 2] + pad)
+    qflat = jnp.clip(qflat, 0, grid.shape[0] - 1)
+    return jnp.where(valid, grid[qflat], v_in).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("factor", "capacity"))
 def downsample_coords(
     coords: jnp.ndarray,

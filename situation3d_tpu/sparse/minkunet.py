@@ -69,9 +69,11 @@ def build_unet_plan(
     """
     assert len(capacities) == len(STRIDES)
     B = coords.shape[0]
-    k2 = jnp.asarray(kernel_offsets(2))
-    k3 = jnp.asarray(kernel_offsets(3))
-    k5 = jnp.asarray(kernel_offsets(5))
+    # numpy (static) offsets: the dense path picks block vs elementwise
+    # lookups from their values at trace time
+    k2 = kernel_offsets(2)
+    k3 = kernel_offsets(3)
+    k5 = kernel_offsets(5)
     overflow = {"voxels_dropped": jnp.zeros((B,), jnp.int32),
                 "extent_misses": jnp.zeros((B,), jnp.int32)}
 
@@ -95,7 +97,11 @@ def build_unet_plan(
 
     if dense_lookup:
         # O(1)-probe path: one dense index grid per level (scatter), every
-        # map a single gather (kernel_map.build_level_grid)
+        # map entry one elementwise gather. Measured v5e note: XLA's
+        # elementwise gather (~60-70 M int32 rows/s) BEATS sliced/block
+        # gathers here — lax.gather with slice_sizes (k,k,k) ran 1.9x
+        # slower and (1,1,k) z-slices 33x slower, so the padded-grid block
+        # variants in kernel_map.py stay opt-in for other hardware.
         from situation3d_tpu.sparse.kernel_map import (build_level_grid,
                                                        lookup_kernel_map_dense)
         grids = []
@@ -109,17 +115,19 @@ def build_unet_plan(
         def lookup(level_i, out_coords, out_mask, offsets, offset_stride):
             s = STRIDES[level_i]
             v_in = levels[level_i]["coords"].shape[1]
+            offs = jnp.asarray(offsets)
             return jax.vmap(
                 lambda g, oc, om: lookup_kernel_map_dense(
-                    g, v_in, oc, om, offsets, s, offset_stride, extent)
+                    g, v_in, oc, om, offs, s, offset_stride, extent)
             )(grids[level_i], out_coords, out_mask)
     else:
         def lookup(level_i, out_coords, out_mask, offsets, offset_stride):
             s = STRIDES[level_i]
             lvl = levels[level_i]
+            offs = jnp.asarray(offsets)
             return jax.vmap(
                 lambda ic, im, oc, om: build_kernel_map(
-                    ic, im, oc, om, offsets, s, offset_stride)
+                    ic, im, oc, om, offs, s, offset_stride)
             )(lvl["coords"], lvl["mask"], out_coords, out_mask)
 
     for i, lvl in enumerate(levels):

@@ -98,5 +98,55 @@ class ThreeDVQATask:
             batch)["params"]
 
 
+@registry.register_task("captioning")
+class CaptionTask(ThreeDVQATask):
+    """Scene captioning with Blip2T5 (``lavis/tasks/captioning.py:17-80``):
+    generation without a question prompt, scored by the pycoco-style
+    scorers (BLEU/ROUGE-L/CIDEr, eval/scorers.score_all) instead of EM.
+
+    Caption records reuse the 3d_vqa schema with the caption as the single
+    answer and an empty question; the prompt template collapses to "".
+    """
+
+    def __init__(self, cfg: Config, synthetic: bool = False):
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, blip2=dataclasses.replace(cfg.blip2, prompt="{}"))
+        super().__init__(cfg, synthetic=synthetic)
+
+    @staticmethod
+    def report_metrics(preds: Dict[str, str], golds) -> Dict[str, float]:
+        from situation3d_tpu.eval.scorers import score_all
+        return score_all(preds, golds)
+
+
+@registry.register_task("retrieval")
+class RetrievalTask:
+    """Scene-text retrieval with the stage-1 Blip2Qformer
+    (``lavis/tasks/retrieval.py:21-103``): ITC ranking + ITM rerank via
+    eval/retrieval.compute_sim_matrix, recall@k report."""
+
+    def __init__(self, cfg: Config, synthetic: bool = False, k_test: int = 16):
+        self.cfg = cfg
+        self.synthetic = synthetic
+        self.k_test = k_test
+
+    def build_model(self):
+        from situation3d_tpu.models.blip2_qformer import Blip2Qformer
+        return Blip2Qformer(
+            self.cfg.blip2.qformer,
+            dtype=jnp.bfloat16 if self.cfg.train.bf16 else jnp.float32)
+
+    def evaluation(self, model, variables, image_embeds, image_mask,
+                   text_ids, text_mask, img2txt, txt2img,
+                   rank: int = 0, world: int = 1) -> Dict[str, float]:
+        from situation3d_tpu.eval.retrieval import (compute_sim_matrix,
+                                                    retrieval_metrics)
+        i2t, t2i = compute_sim_matrix(
+            model, variables, image_embeds, image_mask, text_ids, text_mask,
+            k_test=self.k_test, rank=rank, world=world)
+        return retrieval_metrics(i2t, t2i, img2txt, txt2img)
+
+
 def setup_task(name: str, cfg: Config, **kwargs):
     return registry.get_task(name)(cfg, **kwargs)

@@ -265,3 +265,59 @@ def test_answer_loss_ce(model_setup):
     assert float(terms_ce["answer_loss"]) == pytest.approx(expect, rel=1e-5)
     assert float(terms_ce["answer_loss"]) != pytest.approx(
         float(terms_bce["answer_loss"]), rel=1e-3)
+
+
+def test_scene_token_cache_matches_full_forward(rng):
+    """Serving path: cached scene_tokens -> answers identical to the full
+    forward that produced them (eval/serving.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from situation3d_tpu.config import Config, apply_overrides
+    from situation3d_tpu.eval.serving import SceneCache
+    from situation3d_tpu.models.sig3d import SIG3D
+
+    cfg = apply_overrides(Config(), [
+        "lang.num_layers=1", "lang.hidden_size=32", "lang.num_heads=2",
+        "lang.intermediate_size=64", "lang.vocab_size=128",
+        "model.hidden_size=32", "model.mcan_num_heads=2",
+        "model.mcan_num_layers=1", "model.mcan_flat_mlp_size=16",
+        "model.mcan_flat_out_size=24", "model.num_scene_tokens=16",
+        "sparse.planes=(4,4,4,4,4,4,4,4)", "sparse.init_dim=4",
+        "sparse.bottleneck_channels=4", "model.scene_feat_dim=4",
+        "sparse.capacities=(256,128,64,32,16)", "data.num_answers=7",
+        "sparse.grid_extent=(64,64,32)", "data.max_text_len=12"])
+    model = SIG3D(cfg, num_answers=7)
+    r = np.random.RandomState(0)
+    B, V, L = 1, 256, 12
+    coords = np.sort(r.randint(0, 30, (B, V, 3)).astype(np.int32), axis=1)
+    batch = {
+        "s_ids": r.randint(1, 128, (B, L)).astype(np.int32),
+        "s_mask": np.ones((B, L), np.int32),
+        "q_ids": r.randint(1, 128, (B, L)).astype(np.int32),
+        "q_mask": np.ones((B, L), np.int32),
+        "voxel_coords": coords,
+        "voxel_feats": r.rand(B, V, 3).astype(np.float32),
+        "voxel_mask": np.ones((B, V), bool),
+        "auxiliary_task": np.concatenate(
+            [r.rand(B, 3), np.tile([0, 0, 0, 1.0], (B, 1))], 1
+        ).astype(np.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        batch, train=False)
+    key = jax.random.PRNGKey(2)
+    full = model.apply(variables, batch, train=False, rngs={"sample": key})
+
+    cache = SceneCache(model, variables)
+    cache.encode("scene0", batch, key)
+    assert "scene0" in cache
+    # two questions against the cached scene
+    q_batch = {k: np.concatenate([v, v]) for k, v in batch.items()}
+    out = cache.answer("scene0", q_batch, key)
+    np.testing.assert_allclose(
+        np.asarray(out["answer_scores"][0]),
+        np.asarray(full["answer_scores"][0]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["answer_scores"][1]),
+        np.asarray(out["answer_scores"][0]), rtol=1e-6, atol=1e-6)

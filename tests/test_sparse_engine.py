@@ -358,3 +358,38 @@ def test_plan_reports_overflow(rng):
     assert int(plan["overflow"]["extent_misses"][0]) == 0
     # tiny capacities at coarse levels may or may not drop; counters >= 0
     assert int(plan["overflow"]["voxels_dropped"][0]) >= 0
+
+
+def test_block_lookup_matches_elementwise(rng):
+    """Padded-grid block/elementwise lookups == the unpadded dense path
+    (kept opt-in: on v5e the elementwise gather measured fastest)."""
+    import jax
+    import jax.numpy as jnp
+
+    from situation3d_tpu.sparse.kernel_map import (
+        build_level_grid, build_level_grid_padded, kernel_offsets,
+        lookup_kernel_map_block, lookup_kernel_map_dense,
+        lookup_kernel_map_dense_padded)
+
+    extent = (64, 64, 32)
+    coords = np.unique(
+        (rng.rand(600, 3) * np.array([60, 60, 28])).astype(np.int32), axis=0)
+    V = 512
+    pad_c = np.zeros((V, 3), np.int32)
+    pad_c[: len(coords)] = coords[:V]
+    mask = np.zeros(V, bool)
+    mask[: min(len(coords), V)] = True
+    c, m = jnp.asarray(pad_c), jnp.asarray(mask)
+
+    grid, miss0 = build_level_grid(c, m, 1, extent)
+    gridp, miss1 = build_level_grid_padded(c, m, 1, extent)
+    assert int(miss0) == int(miss1) == 0
+    for k in (3, 5):
+        offs = jnp.asarray(kernel_offsets(k))
+        want = lookup_kernel_map_dense(grid, V, c, m, offs, 1, 1, extent)
+        got_block = lookup_kernel_map_block(gridp, V, c, m, k,
+                                            -(k // 2), 1, extent)
+        got_elem = lookup_kernel_map_dense_padded(gridp, V, c, m, offs,
+                                                  1, 1, extent)
+        np.testing.assert_array_equal(np.asarray(got_block), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(got_elem), np.asarray(want))

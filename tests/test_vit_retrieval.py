@@ -242,3 +242,38 @@ def test_retrieval_metrics():
     i2t[0, 0] = i2t[0, 1] = -100.0
     m = retrieval_metrics(i2t, t2i, img2txt, txt2img)
     assert abs(m["txt_r1"] - 200.0 / 3) < 1e-6
+
+
+def test_caption_and_retrieval_tasks():
+    """Registry tasks wrapping the generative/stage-1 models
+    (lavis/tasks/{captioning,retrieval}.py parity)."""
+    from situation3d_tpu.config import Config, apply_overrides
+    from situation3d_tpu.train.tasks import setup_task
+
+    cfg = apply_overrides(Config(), [
+        "blip2.qformer.hidden_size=16", "blip2.qformer.num_layers=2",
+        "blip2.qformer.num_heads=2", "blip2.qformer.intermediate_size=32",
+        "blip2.qformer.num_query_tokens=4", "blip2.qformer.encoder_width=12",
+        "blip2.qformer.vocab_size=50", "train.bf16=false"])
+    cap = setup_task("captioning", cfg, synthetic=True)
+    assert cap.cfg.blip2.prompt == "{}"   # no question template
+    m = cap.report_metrics({"a": "a red chair"}, {"a": ["a red chair"]})
+    assert m["BLEU-1"] == pytest.approx(1.0)
+
+    ret = setup_task("retrieval", cfg, synthetic=True, k_test=3)
+    model = ret.build_model()
+    rng_np = np.random.RandomState(0)
+    Ni, Nt, N, L = 4, 4, 6, 5
+    imgs = rng_np.randn(Ni, N, 12).astype(np.float32)
+    imask = np.ones((Ni, N), np.int32)
+    tids = rng_np.randint(1, 50, (Nt, L)).astype(np.int32)
+    tmask = np.ones((Nt, L), np.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        {"image_embeds": imgs[:2], "image_mask": imask[:2],
+         "text_ids": tids[:2], "text_mask": tmask[:2]})
+    metrics = ret.evaluation(model, variables, imgs, imask, tids, tmask,
+                             img2txt={i: [i] for i in range(4)},
+                             txt2img={i: i for i in range(4)})
+    assert set(metrics) >= {"txt_r1", "img_r1", "r_mean", "agg_metrics"}
+    assert 0 <= metrics["r_mean"] <= 100
