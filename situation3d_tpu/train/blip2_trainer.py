@@ -56,17 +56,19 @@ def make_blip2_optimizer(cfg: Config, params, steps_per_epoch: int):
 
 
 def make_blip2_train_step(model: Blip2T5, tx: optax.GradientTransformation,
-                          donate: bool = True, nan_guard: bool = True
-                          ) -> Callable:
+                          donate: bool = True, nan_guard: str = "loss",
+                          trainable=None) -> Callable:
     def train_step(state: Blip2TrainState, batch):
         def loss_fn(p):
             return model.apply({"params": p}, batch, train=True)["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         metrics = {"loss": loss}
-        if nan_guard:
+        if nan_guard != "off":
             from situation3d_tpu.train.trainer import finite_guard
-            grads, finite = finite_guard(grads)
+            # trainable-only: keeps frozen-T5 weight grads DCE-able
+            grads, finite = finite_guard(grads, trainable, loss=loss,
+                                         mode=nan_guard)
             metrics["grads_finite"] = finite.astype(jnp.float32)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -101,7 +103,8 @@ class Blip2Trainer:
         self.trainable = blip2_trainable_mask(cfg, state.params)
         self.train_step = make_blip2_train_step(model, tx,
                                                 cfg.train.donate_state,
-                                                nan_guard=cfg.train.nan_guard)
+                                                nan_guard=cfg.train.nan_guard,
+                                                trainable=self.trainable)
         self._predict = jax.jit(lambda p, b: predict_answers(
             model, {"params": p}, b, cfg.eval.max_gen_len))
         self.ckpt = CheckpointManager(cfg.train.ckpt_dir, cfg.train.ckpt_keep,

@@ -50,7 +50,7 @@ def test_finite_guard():
     from situation3d_tpu.train.trainer import finite_guard
 
     good = {"a": jnp.ones((2, 2)), "b": jnp.arange(3.0)}
-    g, finite = finite_guard(good)
+    g, finite = finite_guard(good)  # default mode="full" checks leaves
     assert bool(finite)
     np.testing.assert_allclose(np.asarray(g["a"]), 1.0)
 
@@ -59,3 +59,44 @@ def test_finite_guard():
     assert not bool(finite)
     np.testing.assert_allclose(np.asarray(g["a"]), 0.0)  # whole step skipped
     np.testing.assert_allclose(np.asarray(g["b"]), 0.0)
+
+
+def test_finite_guard_trainable_mask():
+    """Frozen leaves pass through untouched (and unread — DCE-preserving)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from situation3d_tpu.train.trainer import finite_guard
+
+    grads = {"frozen": jnp.full((2,), jnp.nan), "head": jnp.ones((2,))}
+    mask = {"frozen": False, "head": True}
+    g, finite = finite_guard(grads, mask, mode="full")
+    assert bool(finite)  # NaN in the frozen leaf doesn't trip the guard
+    np.testing.assert_allclose(np.asarray(g["head"]), 1.0)
+    assert np.isnan(np.asarray(g["frozen"])).all()  # untouched
+
+    grads = {"frozen": jnp.ones((2,)), "head": jnp.full((2,), jnp.inf)}
+    g, finite = finite_guard(grads, mask, mode="full")
+    assert not bool(finite)
+    np.testing.assert_allclose(np.asarray(g["head"]), 0.0)
+    np.testing.assert_allclose(np.asarray(g["frozen"]), 1.0)
+
+
+def test_finite_guard_loss_mode():
+    """mode='loss' (the free default in training): triggers on the loss
+    scalar, not per-leaf reductions."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from situation3d_tpu.train.trainer import finite_guard
+
+    grads = {"w": jnp.ones((3,))}
+    g, finite = finite_guard(grads, loss=jnp.float32(1.5), mode="loss")
+    assert bool(finite)
+    g, finite = finite_guard(grads, loss=jnp.float32(np.nan), mode="loss")
+    assert not bool(finite)
+    np.testing.assert_allclose(np.asarray(g["w"]), 0.0)
+    # loss mode does NOT inspect grad leaves (that is mode="full")
+    grads = {"w": jnp.full((3,), jnp.nan)}
+    _, finite = finite_guard(grads, loss=jnp.float32(0.0), mode="loss")
+    assert bool(finite)
