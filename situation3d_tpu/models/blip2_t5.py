@@ -112,3 +112,30 @@ def predict_answers(model: Blip2T5, variables, batch,
         t5, t5_vars, inputs_embeds, enc_mask,
         max_len or cfg.t5.max_answer_len,
         cfg.t5.decoder_start_token_id, cfg.t5.eos_token_id, cfg.t5.pad_token_id)
+
+
+def generate(model: Blip2T5, variables, batch, num_beams: int = 5,
+             max_length: int = 30, min_length: int = 1,
+             length_penalty: float = 1.0) -> jnp.ndarray:
+    """Beam-search generation (``blip2_t5.py:186-263`` generate parity,
+    non-sampling branch: num_beams=5, length_penalty=1.0, min_length=1
+    through the vendored T5's HF generate). ``num_beams=1`` falls back to
+    the greedy decoder. Returns int32 [B, max_length] token ids."""
+    if num_beams == 1:
+        return predict_answers(model, variables, batch, max_length)
+    from situation3d_tpu.models.t5 import beam_search_decode
+    cfg = model.cfg
+
+    query_t5 = model.apply(
+        variables, batch["pc_feat"], batch["pc"], batch["pc_mask"],
+        method=Blip2T5.encode_scene)
+    inputs_embeds, enc_mask = model.apply(
+        variables, query_t5, batch["input_ids"], batch["input_mask"],
+        method=Blip2T5._encoder_inputs)
+    t5_vars = {"params": variables["params"]["t5"]}
+    t5 = T5ForConditionalGeneration(cfg.t5, model.dtype)
+    return beam_search_decode(
+        t5, t5_vars, inputs_embeds, enc_mask, max_length,
+        cfg.t5.decoder_start_token_id, cfg.t5.eos_token_id,
+        cfg.t5.pad_token_id, num_beams=num_beams,
+        length_penalty=length_penalty, min_length=min_length)

@@ -283,6 +283,128 @@ def t5_cross_entropy(logits, labels, label_mask) -> jnp.ndarray:
     return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def beam_search_decode(model: T5ForConditionalGeneration, variables,
+                       inputs_embeds, enc_mask, max_len: int,
+                       decoder_start_id: int, eos_id: int, pad_id: int,
+                       num_beams: int = 5, length_penalty: float = 1.0,
+                       min_length: int = 1):
+    """Beam search matching HF ``generate`` semantics (``blip2_t5.py:251-259``
+    runs the vendored T5's generate with num_beams=5, length_penalty=1.0,
+    early_stopping off, min_length masking): 2M candidate expansion per
+    step, EOS candidates finalize with score ``sum_logprobs / len**alpha``
+    (len counts decoder_start + generated-so-far), survivors continue.
+    Fixed shapes: one while_loop, cache reordered by beam gathers.
+
+    Returns int32 [B, max_len] sequences (EOS kept, pad after)."""
+    B = inputs_embeds.shape[0]
+    M = num_beams
+    NEG = jnp.float32(-1e9)
+    enc = model.apply(variables, inputs_embeds, enc_mask,
+                      method=T5ForConditionalGeneration.encode)
+    Le, D = enc.shape[1:]
+    enc_rep = jnp.repeat(enc, M, axis=0)                       # [B*M, Le, D]
+    mask_rep = jnp.repeat(enc_mask, M, axis=0)
+
+    _, cache_vars = model.apply(
+        variables, enc_rep, mask_rep,
+        jnp.full((B * M, 1), decoder_start_id, jnp.int32),
+        method=T5ForConditionalGeneration.decode_step, mutable=["cache"])
+    init_cache = jax.tree_util.tree_map(jnp.zeros_like, cache_vars["cache"])
+
+    def _batch_done(step, run_score, fin_scores, n_fin):
+        # HF BeamHypotheses.is_done (early_stopping=False): M hypotheses
+        # collected AND the best running sum-logprob can no longer beat the
+        # worst kept hypothesis under the length penalty
+        best_possible = run_score[:, 0] / jnp.float32(
+            jnp.maximum(step + 1, 1)) ** length_penalty
+        return (n_fin >= M) & (fin_scores[:, -1] >= best_possible)
+
+    def step_fn(state):
+        (step, tokens, run_score, seqs, fin_seqs, fin_scores, n_fin,
+         cache) = state
+        logits, new_vars = model.apply(
+            {**variables, "cache": cache}, enc_rep, mask_rep,
+            tokens.reshape(B * M, 1),
+            method=T5ForConditionalGeneration.decode_step, mutable=["cache"])
+        cache = new_vars["cache"]
+        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        vocab = logp.shape[-1]
+        # MinLengthLogitsProcessor: EOS forbidden while len < min_length
+        logp = logp.at[:, eos_id].set(jnp.where(
+            step + 1 < min_length, NEG, logp[:, eos_id]))
+        cand = run_score[:, :, None] + logp.reshape(B, M, vocab)
+        flat = cand.reshape(B, M * vocab)
+        top2, idx2 = jax.lax.top_k(flat, 2 * M)                # [B, 2M]
+        beam2 = idx2 // vocab
+        tok2 = idx2 % vocab
+        is_eos = tok2 == eos_id
+        done = _batch_done(step, run_score, fin_scores, n_fin)  # [B]
+
+        # ---- finalize EOS candidates (denominator = step+1: start + step
+        # generated tokens, EOS excluded from the length as in
+        # BeamHypotheses.add) --------------------------------------------
+        eos_fin_scores = jnp.where(
+            is_eos & ~done[:, None],
+            top2 / jnp.float32(step + 1) ** length_penalty, NEG)  # [B, 2M]
+        prefix = jnp.take_along_axis(
+            seqs, beam2[:, :, None], axis=1)                   # [B, 2M, L]
+        cand_fin = prefix.at[:, :, step].set(eos_id)
+        all_scores = jnp.concatenate([fin_scores, eos_fin_scores], axis=1)
+        all_seqs = jnp.concatenate([fin_seqs, cand_fin], axis=1)
+        keep_s, keep_i = jax.lax.top_k(all_scores, M)
+        fin_scores = keep_s
+        fin_seqs = jnp.take_along_axis(all_seqs, keep_i[:, :, None], axis=1)
+        n_fin = n_fin + jnp.sum((is_eos & ~done[:, None]).astype(jnp.int32),
+                                axis=1)
+
+        # ---- survivors: top-M non-EOS candidates ------------------------
+        cont = jnp.where(is_eos, NEG, top2)
+        sel_s, sel_i = jax.lax.top_k(cont, M)                  # [B, M]
+        sel_beam = jnp.take_along_axis(beam2, sel_i, axis=1)
+        sel_tok = jnp.take_along_axis(tok2, sel_i, axis=1)
+        # frozen batches: identity beam gather, pad tokens, scores frozen
+        ident = jnp.broadcast_to(jnp.arange(M)[None], (B, M))
+        sel_beam = jnp.where(done[:, None], ident, sel_beam)
+        sel_tok = jnp.where(done[:, None], pad_id, sel_tok)
+        run_score = jnp.where(done[:, None], run_score, sel_s)
+        seqs = jnp.take_along_axis(seqs, sel_beam[:, :, None], axis=1)
+        seqs = seqs.at[:, :, step].set(jnp.where(
+            done[:, None], seqs[:, :, step], sel_tok))
+        # reorder the cache along the flattened beam axis
+        flat_idx = (jnp.arange(B)[:, None] * M + sel_beam).reshape(-1)
+        cache = jax.tree_util.tree_map(
+            lambda c: jnp.take(c, flat_idx, axis=0) if c.ndim and
+            c.shape[0] == B * M else c, cache)
+        return (step + 1, sel_tok[..., None], run_score, seqs, fin_seqs,
+                fin_scores, n_fin, cache)
+
+    def cond_fn(state):
+        step, _, run_score, _, _, fin_scores, n_fin, _ = state
+        return (step < max_len) & ~jnp.all(
+            _batch_done(step, run_score, fin_scores, n_fin))
+
+    run0 = jnp.tile(jnp.asarray([0.0] + [-1e9] * (M - 1), jnp.float32),
+                    (B, 1))
+    state = (jnp.zeros((), jnp.int32),
+             jnp.full((B, M, 1), decoder_start_id, jnp.int32),
+             run0,
+             jnp.full((B, M, max_len), pad_id, jnp.int32),
+             jnp.full((B, M, max_len), pad_id, jnp.int32),
+             jnp.full((B, M), NEG),
+             jnp.zeros((B,), jnp.int32),
+             init_cache)
+    (step, _, run_score, seqs, fin_seqs, fin_scores, n_fin, _) = \
+        jax.lax.while_loop(cond_fn, step_fn, state)
+
+    # finalize: running beams of unfinished batches join with the full-length
+    # penalty (len = max_len + start)
+    final_run = run_score / jnp.float32(max_len + 1) ** length_penalty
+    all_scores = jnp.concatenate([fin_scores, final_run], axis=1)
+    all_seqs = jnp.concatenate([fin_seqs, seqs], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    return jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0]
+
+
 def greedy_decode(model: T5ForConditionalGeneration, variables,
                   inputs_embeds, enc_mask, max_len: int,
                   decoder_start_id: int, eos_id: int, pad_id: int):

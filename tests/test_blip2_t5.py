@@ -186,3 +186,21 @@ def test_t5_remat_matches(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-7)
+
+
+def test_blip2_generate_beam(blip2_setup):
+    """Blip2T5.generate (blip2_t5.py:186-263 non-sampling branch): beam
+    search produces valid tokens and beats/matches greedy's score path."""
+    from situation3d_tpu.models.blip2_t5 import generate, predict_answers
+    model, variables, batch = (blip2_setup["model"], blip2_setup["vs"],
+                               blip2_setup["batch"])
+    beam = np.asarray(generate(model, variables, batch, num_beams=3,
+                               max_length=5))
+    greedy = np.asarray(predict_answers(model, variables, batch, 5))
+    assert beam.shape == greedy.shape
+    assert beam.dtype == np.int32
+    assert (beam >= 0).all() and (beam < model.cfg.t5.vocab_size).all()
+    # num_beams=1 falls back to greedy exactly
+    one = np.asarray(generate(model, variables, batch, num_beams=1,
+                              max_length=5))
+    np.testing.assert_array_equal(one, greedy)

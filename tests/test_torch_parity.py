@@ -131,3 +131,69 @@ def test_t5_greedy_decode_parity(torch_t5):
     # pad (HF pads with pad_token_id).
     hf_tokens = want[:, 1:1 + got.shape[1]]
     np.testing.assert_array_equal(got, hf_tokens)
+
+
+def test_t5_beam_search_parity(torch_t5):
+    """Beam search vs HF generate(num_beams=3) — token-exact on the random
+    tiny T5 (ties have measure zero with continuous random logits)."""
+    hf_cfg, model = torch_t5
+    cfg = T5Config(vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+                   num_decoder_layers=2, num_heads=4, dense_act_fn="gelu",
+                   is_gated_act=True, tie_word_embeddings=False,
+                   max_answer_len=6, eos_token_id=1, pad_token_id=0,
+                   decoder_start_token_id=0)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_t5(sd, 2, 2, 96)
+
+    rng = np.random.RandomState(3)
+    enc_ids = rng.randint(2, 96, (3, 6)).astype(np.int64)
+    enc_mask = np.ones((3, 6), np.int64)
+
+    with torch.no_grad():
+        want = model.generate(
+            input_ids=torch.tensor(enc_ids),
+            attention_mask=torch.tensor(enc_mask),
+            max_new_tokens=6, num_beams=3, do_sample=False,
+            length_penalty=1.0, early_stopping=False).numpy()
+
+    from situation3d_tpu.models.t5 import (T5ForConditionalGeneration as JT5,
+                                           beam_search_decode)
+    jt5 = JT5(cfg)
+    embeds = np.asarray(params["shared"]["embedding"])[enc_ids]
+    got = np.asarray(beam_search_decode(
+        jt5, {"params": params}, jnp.asarray(embeds), jnp.asarray(enc_mask),
+        6, 0, 1, 0, num_beams=3, length_penalty=1.0))
+    hf_tokens = want[:, 1:]
+    L = min(got.shape[1], hf_tokens.shape[1])
+    np.testing.assert_array_equal(got[:, :L], hf_tokens[:, :L])
+
+
+def test_t5_beam_search_parity_longer(torch_t5):
+    """Second beam config: beams=4, longer budget, different seed."""
+    hf_cfg, model = torch_t5
+    cfg = T5Config(vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+                   num_decoder_layers=2, num_heads=4, dense_act_fn="gelu",
+                   is_gated_act=True, tie_word_embeddings=False,
+                   max_answer_len=10, eos_token_id=1, pad_token_id=0,
+                   decoder_start_token_id=0)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_t5(sd, 2, 2, 96)
+    rng = np.random.RandomState(7)
+    enc_ids = rng.randint(2, 96, (2, 9)).astype(np.int64)
+    enc_mask = np.ones((2, 9), np.int64)
+    with torch.no_grad():
+        want = model.generate(
+            input_ids=torch.tensor(enc_ids),
+            attention_mask=torch.tensor(enc_mask),
+            max_new_tokens=10, num_beams=4, do_sample=False,
+            length_penalty=1.0, early_stopping=False).numpy()
+    from situation3d_tpu.models.t5 import (T5ForConditionalGeneration as JT5,
+                                           beam_search_decode)
+    jt5 = JT5(cfg)
+    embeds = np.asarray(params["shared"]["embedding"])[enc_ids]
+    got = np.asarray(beam_search_decode(
+        jt5, {"params": params}, jnp.asarray(embeds), jnp.asarray(enc_mask),
+        10, 0, 1, 0, num_beams=4, length_penalty=1.0))
+    hf_tokens = want[:, 1:]
+    L = min(got.shape[1], hf_tokens.shape[1])
+    np.testing.assert_array_equal(got[:, :L], hf_tokens[:, :L])
