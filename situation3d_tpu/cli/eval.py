@@ -32,6 +32,12 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--split", default="val")
     p.add_argument("--output", default="outputs/eval")
+    p.add_argument("--scene-cache", action="store_true",
+                   help="evaluate with per-scene encoding reuse "
+                        "(eval/serving.py): the scene tower runs once per "
+                        "scene instead of once per question — exact at eval "
+                        "time (no augmentation; the pose transforms only "
+                        "the target vector)")
     p.add_argument("--visualize", action="store_true",
                    help="export PLY/OBJ scene visualizations")
     p.add_argument("--segmentation", action="store_true",
@@ -163,6 +169,61 @@ def restore_blip2_params(cfg, model, params, args, logger):
     return params
 
 
+def run_cached_eval(cfg, task, ds, trainer, logger):
+    """Scene-grouped QA eval through eval/serving.SceneCache: one scene
+    tower pass per scene, every question answered against the cached
+    tokens. Returns the same EM metrics as Trainer.evaluate."""
+    import jax
+    import numpy as np
+
+    from situation3d_tpu.eval.serving import SceneCache
+    from situation3d_tpu.train.metrics import answer_metrics
+
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    cache = SceneCache(trainer.model, variables)
+    groups: dict = {}
+    for i, rec in enumerate(ds.records):
+        groups.setdefault(rec["scene_id"], []).append(i)
+
+    Bq = cfg.eval.batch_size
+    q_keys = ("s_ids", "s_mask", "q_ids", "q_mask", "auxiliary_task")
+    sums: dict = {}
+    total = 0
+    key = jax.random.PRNGKey(cfg.train.seed)
+    for sid, idxs in groups.items():
+        samples = [ds[i] for i in idxs]
+        scene_batch = {k: np.asarray(v)[None] for k, v in samples[0].items()
+                       if k not in ("question_id", "answer_cats")}
+        key, k1 = jax.random.split(key)
+        cache.encode(sid, scene_batch, k1)
+        for s0 in range(0, len(samples), Bq):
+            chunk = samples[s0: s0 + Bq]
+            nvalid = len(chunk)
+            chunk = chunk + [chunk[-1]] * (Bq - nvalid)
+            qb = {k: np.stack([s[k] for s in chunk]) for k in q_keys}
+            key, k2 = jax.random.split(key)
+            out = cache.answer(sid, qb, k2)
+            cats = np.stack([s["answer_cat_scores"] for s in chunk])
+            valid = np.arange(Bq) < nvalid
+            m = answer_metrics(out["answer_scores"], cats,
+                               np.stack([s["question_type"] for s in chunk])
+                               if "question_type" in chunk[0] else None,
+                               valid=valid)
+            for mk, mv in m.items():
+                v = np.asarray(mv, np.float64)
+                # acc_* are per-batch means (weight by nvalid); breakdown
+                # entries are (correct, count) SUM pairs — add directly
+                sums[mk] = sums.get(mk, 0.0) + (
+                    v * nvalid if v.ndim == 0 else v)
+            total += nvalid
+    metrics = {mk: (v / max(total, 1)).tolist() if np.ndim(v) == 0 else
+               v.tolist() for mk, v in sums.items()}
+    logger.info("scene-cache eval: %d questions over %d scenes",
+                total, len(groups))
+    return metrics
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     logger = setup_logger()
@@ -184,9 +245,12 @@ def main(argv=None) -> None:
             if restored is not None:
                 trainer.state = restored
                 logger.info("restored checkpoint step %d", int(restored.step))
-        metrics = trainer.evaluate(
-            task.clean_batch(b) for b in batch_iterator(
-                ds, cfg.eval.batch_size, shuffle=False, drop_last=False))
+        if args.scene_cache:
+            metrics = run_cached_eval(cfg, task, ds, trainer, logger)
+        else:
+            metrics = trainer.evaluate(
+                task.clean_batch(b) for b in batch_iterator(
+                    ds, cfg.eval.batch_size, shuffle=False, drop_last=False))
         logger.info("eval[%s]: %s", args.split, metrics)
         if args.visualize:
             # export the first batch's scenes with predicted situations

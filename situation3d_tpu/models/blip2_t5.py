@@ -114,17 +114,20 @@ def predict_answers(model: Blip2T5, variables, batch,
         cfg.t5.decoder_start_token_id, cfg.t5.eos_token_id, cfg.t5.pad_token_id)
 
 
-def generate(model: Blip2T5, variables, batch, num_beams: int = 5,
-             max_length: int = 30, min_length: int = 1,
-             length_penalty: float = 1.0) -> jnp.ndarray:
-    """Beam-search generation (``blip2_t5.py:186-263`` generate parity,
-    non-sampling branch: num_beams=5, length_penalty=1.0, min_length=1
-    through the vendored T5's HF generate). ``num_beams=1`` falls back to
-    the greedy decoder. Returns int32 [B, max_length] token ids."""
-    if num_beams == 1:
-        return predict_answers(model, variables, batch, max_length)
-    from situation3d_tpu.models.t5 import beam_search_decode
+def generate(model: Blip2T5, variables, batch,
+             use_nucleus_sampling: bool = False, num_beams: int = 5,
+             max_length: int = 30, min_length: int = 1, top_p: float = 0.9,
+             repetition_penalty: float = 1.0, length_penalty: float = 1.0,
+             temperature: float = 1.0, rng=None) -> jnp.ndarray:
+    """``Blip2T5.generate`` parity (``blip2_t5.py:186-263``): beam search
+    (num_beams=5, length_penalty=1.0 defaults) or nucleus sampling
+    (``use_nucleus_sampling`` -> top_p/temperature/repetition_penalty).
+    ``num_beams=1`` without sampling falls back to the greedy decoder.
+    Returns int32 [B, max_length] token ids."""
+    from situation3d_tpu.models.t5 import beam_search_decode, sample_decode
     cfg = model.cfg
+    if not use_nucleus_sampling and num_beams == 1:
+        return predict_answers(model, variables, batch, max_length)
 
     query_t5 = model.apply(
         variables, batch["pc_feat"], batch["pc"], batch["pc_mask"],
@@ -134,6 +137,14 @@ def generate(model: Blip2T5, variables, batch, num_beams: int = 5,
         method=Blip2T5._encoder_inputs)
     t5_vars = {"params": variables["params"]["t5"]}
     t5 = T5ForConditionalGeneration(cfg.t5, model.dtype)
+    if use_nucleus_sampling:
+        return sample_decode(
+            t5, t5_vars, inputs_embeds, enc_mask, max_length,
+            cfg.t5.decoder_start_token_id, cfg.t5.eos_token_id,
+            cfg.t5.pad_token_id,
+            rng if rng is not None else jax.random.PRNGKey(0),
+            top_p=top_p, temperature=temperature, min_length=min_length,
+            repetition_penalty=repetition_penalty)
     return beam_search_decode(
         t5, t5_vars, inputs_embeds, enc_mask, max_length,
         cfg.t5.decoder_start_token_id, cfg.t5.eos_token_id,

@@ -283,6 +283,75 @@ def t5_cross_entropy(logits, labels, label_mask) -> jnp.ndarray:
     return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def apply_repetition_penalty(logits, seen, penalty: float):
+    """HF RepetitionPenaltyLogitsProcessor: previously generated tokens'
+    scores divide by ``penalty`` when positive, multiply when negative."""
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, pen, logits)
+
+
+def sample_decode(model: T5ForConditionalGeneration, variables,
+                  inputs_embeds, enc_mask, max_len: int,
+                  decoder_start_id: int, eos_id: int, pad_id: int,
+                  rng, top_p: float = 0.9, temperature: float = 1.0,
+                  min_length: int = 1, repetition_penalty: float = 1.0):
+    """Nucleus (top-p) sampling — the ``use_nucleus_sampling=True`` branch
+    of the reference's generate (``blip2_t5.py:251-259`` -> HF ``do_sample``
+    with TopPLogitsWarper semantics: keep the smallest prefix of the sorted
+    distribution whose cumulative probability exceeds ``top_p``).
+    Returns int32 [B, max_len] (pad after EOS)."""
+    B = inputs_embeds.shape[0]
+    enc = model.apply(variables, inputs_embeds, enc_mask,
+                      method=T5ForConditionalGeneration.encode)
+    _, cache_vars = model.apply(
+        variables, enc, enc_mask,
+        jnp.full((B, 1), decoder_start_id, jnp.int32),
+        method=T5ForConditionalGeneration.decode_step, mutable=["cache"])
+    init_cache = jax.tree_util.tree_map(jnp.zeros_like, cache_vars["cache"])
+    vocab = model.cfg.vocab_size
+    NEG = jnp.float32(-1e9)
+
+    def cond(state):
+        i, _, _, done, _, _, _ = state
+        return (i < max_len) & ~jnp.all(done)
+
+    def body(state):
+        i, tok, cache, done, out, key, seen = state
+        logits, new_vars = model.apply(
+            {**variables, "cache": cache}, enc, enc_mask, tok,
+            method=T5ForConditionalGeneration.decode_step, mutable=["cache"])
+        lg = logits[:, -1].astype(jnp.float32) / jnp.float32(temperature)
+        if repetition_penalty != 1.0:
+            lg = apply_repetition_penalty(lg, seen, repetition_penalty)
+        lg = lg.at[:, eos_id].set(
+            jnp.where(i + 1 < min_length, NEG, lg[:, eos_id]))
+        # top-p filter on the sorted distribution (keep the first token
+        # crossing the threshold, as HF does via the shifted remove-mask)
+        order = jnp.argsort(-lg, axis=-1)
+        sorted_lg = jnp.take_along_axis(lg, order, axis=-1)
+        probs = jax.nn.softmax(sorted_lg, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        remove_sorted = (cum - probs) >= top_p      # strictly after crossing
+        remove = jnp.zeros_like(remove_sorted).at[
+            jnp.arange(B)[:, None], order].set(remove_sorted)
+        lg = jnp.where(remove, NEG, lg)
+        key, sub = jax.random.split(key)
+        nxt = jax.random.categorical(sub, lg, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad_id, nxt)
+        out = out.at[:, i].set(nxt)
+        seen = seen.at[jnp.arange(B), nxt].set(True)
+        done = done | (nxt == eos_id)
+        return i + 1, nxt[:, None], new_vars["cache"], done, out, key, seen
+
+    out = jnp.full((B, max_len), pad_id, jnp.int32)
+    state = (jnp.zeros((), jnp.int32),
+             jnp.full((B, 1), decoder_start_id, jnp.int32),
+             init_cache, jnp.zeros((B,), bool), out, rng,
+             jnp.zeros((B, vocab), bool))
+    _, _, _, _, out, _, _ = jax.lax.while_loop(cond, body, state)
+    return out
+
+
 def beam_search_decode(model: T5ForConditionalGeneration, variables,
                        inputs_embeds, enc_mask, max_len: int,
                        decoder_start_id: int, eos_id: int, pad_id: int,

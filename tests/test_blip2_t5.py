@@ -204,3 +204,32 @@ def test_blip2_generate_beam(blip2_setup):
     one = np.asarray(generate(model, variables, batch, num_beams=1,
                               max_length=5))
     np.testing.assert_array_equal(one, greedy)
+
+
+def test_blip2_generate_sampling(blip2_setup):
+    """Nucleus-sampling branch (use_nucleus_sampling=True): valid tokens,
+    reproducible under a fixed key, top_p=tiny collapses to greedy."""
+    from situation3d_tpu.models.blip2_t5 import generate, predict_answers
+    model, variables, batch = (blip2_setup["model"], blip2_setup["vs"],
+                               blip2_setup["batch"])
+    k = jax.random.PRNGKey(3)
+    s1 = np.asarray(generate(model, variables, batch,
+                             use_nucleus_sampling=True, max_length=5, rng=k))
+    s2 = np.asarray(generate(model, variables, batch,
+                             use_nucleus_sampling=True, max_length=5, rng=k))
+    np.testing.assert_array_equal(s1, s2)
+    assert (s1 >= 0).all() and (s1 < model.cfg.t5.vocab_size).all()
+    # top_p -> 0 keeps only the argmax token: equals greedy decoding
+    s3 = np.asarray(generate(model, variables, batch,
+                             use_nucleus_sampling=True, max_length=5,
+                             top_p=1e-9, rng=k))
+    greedy = np.asarray(predict_answers(model, variables, batch, 5))
+    np.testing.assert_array_equal(s3, greedy)
+
+
+def test_repetition_penalty():
+    from situation3d_tpu.models.t5 import apply_repetition_penalty
+    lg = jnp.asarray([[2.0, -2.0, 1.0]])
+    seen = jnp.asarray([[True, True, False]])
+    out = np.asarray(apply_repetition_penalty(lg, seen, 2.0))
+    np.testing.assert_allclose(out, [[1.0, -4.0, 1.0]])

@@ -180,3 +180,28 @@ def test_trainer_fit_and_evaluate(tmp_path):
 
 def test_graft_dryrun_multichip():
     graft.dryrun_multichip(8)
+
+
+def test_scene_cache_eval_cli():
+    """--scene-cache eval path: scene-grouped evaluation through
+    eval/serving.SceneCache matches the metric surface of Trainer.evaluate."""
+    from situation3d_tpu.cli.eval import run_cached_eval
+    from situation3d_tpu.data.synthetic import make_synthetic_dataset
+    from situation3d_tpu.train.tasks import setup_task
+    from situation3d_tpu.utils.misc import setup_logger
+
+    cfg = tiny_cfg(["eval.batch_size=4"])
+    task = setup_task("sqa3d", cfg, synthetic=True)
+    ds = make_synthetic_dataset(cfg, n_scenes=2, per_scene=5, split="val",
+                                seed=1)
+    from situation3d_tpu.data.sqa3d import batch_iterator
+    example = task.clean_batch(next(batch_iterator(ds, 4, shuffle=False)))
+    model = task.build_model()
+    trainer = task.build_trainer(model, example, steps_per_epoch=1)
+    metrics = run_cached_eval(cfg, task, ds, trainer, setup_logger())
+    assert 0.0 <= metrics["answer_acc_at1"] <= 1.0
+    assert 0.0 <= metrics["answer_acc_at10"] <= 1.0
+    # breakdown pairs sum to the question count
+    counts = sum(v[1] for k, v in metrics.items()
+                 if k.startswith("answer_acc_breakdown_"))
+    assert counts == 10
