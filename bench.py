@@ -32,8 +32,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np
 
-GATHER_GBPS = 13e9      # measured v5e gather bandwidth (DESIGN.md)
-GATHER_ROWS = 250e6     # measured v5e gather row rate
+GATHER_GBPS = 13e9      # measured v5e gather bandwidth, feature rows (DESIGN.md)
+GATHER_ROWS = 250e6     # measured v5e gather row rate, feature rows
+MAP_ROWS = 65e6         # measured v5e single-int32 gather rate (kernel maps)
 
 
 def make_scene_batch(cfg, B, rng):
@@ -90,7 +91,14 @@ def gather_roofline_sps(cfg) -> float:
     byts = sum(v * k * c * 2 for v, k, c in convs)
     rows = sum(v * k for v, k, _ in convs)
     t = max(byts / GATHER_GBPS, rows / GATHER_ROWS)
-    return 1.0 / t, byts, rows
+    # kernel-map construction (on-device plan): one int32 gather per map
+    # entry at the measured single-element rate — k5 map at level 0, k3
+    # maps per level, k2 down maps (QA mode; decoder maps are DCE'd)
+    map_rows = caps[0] * 125
+    for lvl in range(1, 5):
+        map_rows += caps[lvl] * 27 + caps[lvl] * 8
+    t_plan = map_rows / MAP_ROWS
+    return 1.0 / (t + t_plan), byts, rows, map_rows
 
 
 def time_fn(fn, *args, iters=10):
@@ -174,9 +182,10 @@ def main() -> None:
     scenes_per_sec = B / dt
 
     extra = {"batch_size": B}
-    roofline_sps, byts, rows = gather_roofline_sps(cfg)
+    roofline_sps, byts, rows, map_rows = gather_roofline_sps(cfg)
     extra["gather_bytes_per_sample_mb"] = round(byts / 1e6, 1)
     extra["gather_rows_per_sample_m"] = round(rows / 1e6, 2)
+    extra["map_rows_per_sample_m"] = round(map_rows / 1e6, 2)
     extra["gather_roofline_samples_per_sec"] = round(roofline_sps, 2)
     extra["pct_of_gather_roofline"] = round(
         100 * scenes_per_sec / roofline_sps, 1)
