@@ -69,8 +69,9 @@ class SparseConfig:
     # kept as an option for hardware where conv3d wins.
     dense_conv_min_stride: int = 0
     # serve conv gathers from a VMEM-resident Pallas kernel where the table
-    # fits (ops/pallas/gather.py) instead of XLA's ~13 GB/s gather engine.
-    pallas_gather: bool = False
+    # fits and rows span one lane tile (ops/pallas/gather.py; measured
+    # 1.5-1.7x on the C=64/128 levels) instead of XLA's gather engine.
+    pallas_gather: bool = True
 
 
 @dataclass

@@ -35,7 +35,7 @@ def _gather_kernel(table_ref, idx_ref, out_ref, *, block_rows: int):
         out_ref[0, j, :] = table_ref[0, row, :]
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def vmem_gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
                      block_rows: int = 256) -> jnp.ndarray:
     """out[b, r, :] = table[b, idx[b, r], :].
@@ -56,8 +56,12 @@ def vmem_gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
     assert R % block_rows == 0 and block_rows % 128 == 0, (R, block_rows)
     idx4 = idx.reshape(B, R // block_rows, 1, block_rows)
     grid = (B, R // block_rows)
+    # the CPU backend (tests, multichip dryruns) only supports interpret
+    # mode; Mosaic compiles on TPU/axon
+    interpret = jax.devices()[0].platform == "cpu"
     return pl.pallas_call(
         functools.partial(_gather_kernel, block_rows=block_rows),
+        interpret=interpret,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, V, C), lambda b, i: (b, 0, 0),
@@ -71,10 +75,29 @@ def vmem_gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
     )(table, idx4)
 
 
+def _gather_fwd(table, idx, block_rows):
+    return vmem_gather_rows(table, idx, block_rows), (idx, table.shape)
+
+
+def _gather_bwd(block_rows, res, g):
+    """Deterministic scatter-add of output grads back into table rows (the
+    XLA analogue of the reference's atomicAdd backward kernels)."""
+    idx, tshape = res
+    B = tshape[0]
+    dtable = jnp.zeros(tshape, g.dtype).at[
+        jnp.arange(B)[:, None], idx].add(g)
+    return dtable, None
+
+
+vmem_gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
 def gather_fits_vmem(V: int, C: int, block_rows: int = 256,
-                     budget_bytes: int = 13 * 2 ** 20) -> bool:
+                     budget_bytes: int = 10 * 2 ** 20) -> bool:
     """Conservative VMEM check: f32 table (C padded to a lane multiple of
-    128) + double-buffered output block."""
+    128) + double-buffered output block. The 10MB budget is measured: a
+    12.6MB table (V=24577, C=32) fails Mosaic allocation once the pipeline
+    buffers join it."""
     c_pad = max(C, 128)
     table = V * c_pad * 4
     out = 2 * block_rows * c_pad * 4

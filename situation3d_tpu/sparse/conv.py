@@ -13,7 +13,7 @@ skinny ``C_in``; accumulation happens in float32 regardless of the
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -28,7 +28,7 @@ def sparse_conv_apply(
     kernel: jnp.ndarray,
     offset_chunk: Optional[int] = None,
     precision=None,
-    pallas_gather: bool = False,
+    pallas_gather: Any = False,
 ) -> jnp.ndarray:
     """Gather-matmul sparse convolution.
 
@@ -54,10 +54,19 @@ def sparse_conv_apply(
         offset_chunk = 1
     padded = jnp.concatenate([feats, jnp.zeros((B, 1, C_in), feats.dtype)], axis=1)
 
-    if pallas_gather:
+    # pallas_gather: False | True (auto: skipped on the CPU backend, where
+    # only slow interpret mode exists) | "force" (tests)
+    use_pallas = bool(pallas_gather)
+    if pallas_gather is True:
+        use_pallas = jax.devices()[0].platform != "cpu"
+    if use_pallas:
         from situation3d_tpu.ops.pallas.gather import (gather_fits_vmem,
                                                        vmem_gather_rows)
-        if gather_fits_vmem(V_in + 1, C_in):
+        # measured v5e (B=8, K=27): 1.66x at (V=12288, C=64), 1.50x at
+        # (V=6144, C=128), 0.93x at (V=3072, C=256) — the unrolled
+        # dynamic-sublane loads stop paying once rows span >1 lane tile,
+        # so only C <= 128 routes through the kernel
+        if C_in <= 128 and gather_fits_vmem(V_in + 1, C_in):
             # one kernel call serves all K offsets from the VMEM-resident
             # table; offset-major index order keeps per-offset slices
             # contiguous (no relayout before the matmuls)
@@ -107,7 +116,7 @@ class SparseConv(nn.Module):
     # dense-grid path for same-stride k3 convs at coarse strides (see
     # sparse_conv_dense_grid); requires out coords == in coords
     dense_grid_extent: Optional[tuple] = None
-    pallas_gather: bool = False
+    pallas_gather: Any = False
 
     @nn.compact
     def __call__(self, x: SparseVoxels, nbr_idx, out_coords, out_mask, out_stride) -> SparseVoxels:

@@ -155,7 +155,7 @@ class BasicBlock(nn.Module):
     kernel_volume: int = 27
     dtype: jnp.dtype = jnp.float32
     dense_grid_extent: tuple = None
-    pallas_gather: bool = False
+    pallas_gather: Any = False
 
     @nn.compact
     def __call__(self, x: SparseVoxels, nbr_idx, train: bool, momentum=None) -> SparseVoxels:
@@ -190,7 +190,7 @@ class ResLayer(nn.Module):
     num_blocks: int
     dtype: jnp.dtype = jnp.float32
     dense_grid_extent: tuple = None
-    pallas_gather: bool = False
+    pallas_gather: Any = False
 
     @nn.compact
     def __call__(self, x, nbr_idx, train, momentum=None):

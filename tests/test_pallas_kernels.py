@@ -58,6 +58,29 @@ def test_sparse_conv_pallas_gather_equivalence(rng):
     want = sparse_conv_apply(feats, jnp.asarray(idx), kernel)
     with pltpu.force_tpu_interpret_mode():
         got = sparse_conv_apply(feats, jnp.asarray(idx), kernel,
-                                pallas_gather=True)
+                                pallas_gather="force")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vmem_gather_grad_matches_xla(rng):
+    """custom_vjp backward (deterministic scatter-add) == XLA gather grad."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from situation3d_tpu.ops.pallas.gather import vmem_gather_rows
+    B, V, C, R = 2, 64, 128, 256
+    table = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, V, (B, R)).astype(np.int32))
+    ct = jnp.asarray(rng.randn(B, R, C).astype(np.float32))
+
+    def loss_p(t):
+        return jnp.sum(vmem_gather_rows(t, idx) * ct)
+
+    def loss_x(t):
+        return jnp.sum(jnp.take_along_axis(t, idx[..., None], 1) * ct)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p)(table)
+    gx = jax.grad(loss_x)(table)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-5, atol=1e-5)
