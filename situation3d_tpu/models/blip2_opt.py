@@ -83,14 +83,23 @@ class Blip2OPT(nn.Module):
 
 
 def opt_predict_answers(model: Blip2OPT, variables, batch,
-                        max_len: int = 30) -> jnp.ndarray:
-    """Greedy generation (blip2_opt.py:168-240 generate with num_beams=1):
-    query prefix + prompt ids prime the cache, then argmax decoding until
-    the newline EOS."""
+                        max_len: int = 30,
+                        eos_id: int | None = None) -> jnp.ndarray:
+    """Greedy generation (blip2_opt.py:168-240 generate with num_beams=1).
+
+    The reference stops at the NEWLINE token, not </s>: blip2_opt.py:77
+    sets ``eos_token_id = tokenizer("\\n").input_ids[1]`` (id 50118 for the
+    GPT2-BPE OPT tokenizer). Pass that id as ``eos_id``; the default falls
+    back to the model's ``</s>`` id, which only matches the reference if the
+    config overrides ``eos_token_id`` with the tokenizer's newline id.
+    Left-padded prompts are handled via ``input_mask`` (position ids and
+    attention keys skip pad slots)."""
     prefix = model.apply(variables, batch["pc_feat"], batch["pc"],
                          batch["pc_mask"], method=Blip2OPT.encode_scene)
     opt_vars = {"params": variables["params"]["opt"]}
     opt = OPTForCausalLM(model.opt_cfg, model.dtype)
     return opt_greedy_decode(
         opt, opt_vars, prefix, batch["input_ids"], max_len,
-        eos_id=model.opt_cfg.eos_token_id, pad_id=model.opt_cfg.pad_token_id)
+        eos_id=model.opt_cfg.eos_token_id if eos_id is None else eos_id,
+        pad_id=model.opt_cfg.pad_token_id,
+        first_mask=batch.get("input_mask"))

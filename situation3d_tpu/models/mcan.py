@@ -8,9 +8,7 @@ softmax (``mcan_sqa_module.py:95-99, 174-175``).
 
 TPU notes: attention runs as plain batched matmuls (XLA fuses QK^T/softmax/AV
 fine at these lengths — 100 text + 256 scene tokens); dims stay multiples of
-128 so heads tile onto the MXU. The reference's custom LayerNorm divides by
-``std + eps`` (unbiased std); we use the standard variance form — the
-difference is O(eps) and absorbed when training from scratch or finetuning.
+128 so heads tile onto the MXU.
 """
 from __future__ import annotations
 
@@ -20,6 +18,27 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 NEG_INF = -1e9
+
+
+class MCANLayerNorm(nn.Module):
+    """The reference's custom LayerNorm (mcan_sqa_module.py:57-69):
+    ``a * (x - mean) / (std + eps) + b`` with torch's default UNBIASED std
+    (n-1 denominator) and eps added OUTSIDE the sqrt. This differs from
+    standard LN by a ~sqrt(H/(H-1)) factor (0.4% at H=128) — kept exactly
+    so reference-trained checkpoints port bit-for-bit."""
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        H = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (H,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (H,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.sum(jnp.square(xf - mean), axis=-1, keepdims=True) / (H - 1)
+        out = scale * (xf - mean) / (jnp.sqrt(var) + self.epsilon) + bias
+        return out.astype(self.dtype)
 
 
 class MLP(nn.Module):
@@ -112,10 +131,10 @@ class SA(nn.Module):
         a = MHAtt(self.hidden_size, self.num_heads, self.pdrop, self.dtype,
                   name="mhatt")(x, x, x, pad_mask, deterministic)
         a = nn.Dropout(self.pdrop)(a, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x + a)
+        x = MCANLayerNorm(dtype=self.dtype, name="norm1")(x + a)
         f = FFN(self.hidden_size, self.pdrop, self.dtype, name="ffn")(x, deterministic)
         f = nn.Dropout(self.pdrop)(f, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x + f)
+        return MCANLayerNorm(dtype=self.dtype, name="norm2")(x + f)
 
 
 class SGA(nn.Module):
@@ -133,14 +152,14 @@ class SGA(nn.Module):
         a = MHAtt(self.hidden_size, self.num_heads, self.pdrop, self.dtype,
                   name="mhatt1")(x, x, x, x_pad_mask, deterministic)
         a = nn.Dropout(self.pdrop)(a, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x + a)
+        x = MCANLayerNorm(dtype=self.dtype, name="norm1")(x + a)
         c = MHAtt(self.hidden_size, self.num_heads, self.pdrop, self.dtype,
                   name="mhatt2")(y, y, x, y_pad_mask, deterministic)
         c = nn.Dropout(self.pdrop)(c, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x + c)
+        x = MCANLayerNorm(dtype=self.dtype, name="norm2")(x + c)
         f = FFN(self.hidden_size, self.pdrop, self.dtype, name="ffn")(x, deterministic)
         f = nn.Dropout(self.pdrop)(f, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(x + f)
+        return MCANLayerNorm(dtype=self.dtype, name="norm3")(x + f)
 
 
 class MCAN_ED(nn.Module):

@@ -53,7 +53,8 @@ class OPTAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attn_bias=None, decode: bool = False):
+    def __call__(self, hidden, attn_bias=None, decode: bool = False,
+                 step_mask=None):
         cfg = self.cfg
         B, L, C = hidden.shape
         h, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
@@ -72,14 +73,24 @@ class OPTAttention(nn.Module):
             cv = self.variable("cache", "v", jnp.zeros,
                                (B, h, cfg.max_position, d), self.dtype)
             ci = self.variable("cache", "idx", lambda: jnp.zeros((), jnp.int32))
+            # per-slot key validity: left-padded prompt slots are recorded
+            # invalid and never attended (reference key padding mask,
+            # modeling_opt.py:530-538)
+            cval = self.variable(
+                "cache", "valid",
+                lambda: jnp.zeros((B, cfg.max_position), bool))
             i = ci.value
             ck.value = jax.lax.dynamic_update_slice(ck.value, k, (0, 0, i, 0))
             cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, 0, i, 0))
+            sm = (jnp.ones((B, L), bool) if step_mask is None
+                  else step_mask.astype(bool))
+            cval.value = jax.lax.dynamic_update_slice(cval.value, sm, (0, i))
             ci.value = i + L
             k, v = ck.value, cv.value
             kpos = jnp.arange(cfg.max_position)
-            mask = (kpos[None, :] <= (i + jnp.arange(L)[:, None]))
-            attn_bias = jnp.where(mask, 0.0, NEG_INF)[None, None]
+            causal = kpos[None, :] <= (i + jnp.arange(L)[:, None])   # [L, K]
+            ok = causal[None] & cval.value[:, None, :]               # [B, L, K]
+            attn_bias = jnp.where(ok, 0.0, NEG_INF)[:, None]         # [B,1,L,K]
 
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
         if attn_bias is not None:
@@ -96,12 +107,13 @@ class OPTDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_bias=None, decode: bool = False):
+    def __call__(self, x, attn_bias=None, decode: bool = False,
+                 step_mask=None):
         cfg = self.cfg
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="self_attn_layer_norm")(x)
         x = x + OPTAttention(cfg, self.dtype, name="self_attn")(
-            h, attn_bias, decode)
+            h, attn_bias, decode, step_mask)
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="final_layer_norm")(x)
         h = nn.Dense(cfg.ffn_dim, dtype=self.dtype, name="fc1")(h)
@@ -171,13 +183,14 @@ class OPTForCausalLM(nn.Module):
         x = self.final_norm(x)
         return self.embed_tokens.attend(x)
 
-    def decode_step(self, token_ids, positions):
-        """Cached step(s); ``positions`` [B, L] absolute sequence indices
-        matching ``token_ids``."""
+    def decode_step(self, token_ids, positions, step_mask=None):
+        """Cached step(s); ``positions`` [B, L] position-embedding indices
+        matching ``token_ids``; ``step_mask`` [B, L] marks valid (non-pad)
+        tokens — pad slots are excluded from all future attention."""
         x = self.embed_tokens(token_ids)
         x = x + self.embed_positions(positions + self.cfg.pos_offset)
         for layer in self.layers:
-            x = layer(x, None, decode=True)
+            x = layer(x, None, decode=True, step_mask=step_mask)
         x = self.final_norm(x)
         return self.embed_tokens.attend(x)
 
@@ -195,24 +208,35 @@ def opt_causal_lm_loss(logits, targets) -> jnp.ndarray:
 
 
 def opt_greedy_decode(model: OPTForCausalLM, variables, prefix_embeds,
-                      first_ids, max_len: int, eos_id: int, pad_id: int):
+                      first_ids, max_len: int, eos_id: int, pad_id: int,
+                      first_mask=None):
     """Greedy generation after a [prefix ; first tokens] prompt: prime the
     cache, then argmax one token at a time (blip2_opt.py generate with
-    num_beams=1). ``first_ids`` [B, Lp] left-padded prompt token ids.
-    Returns int32 [B, max_len]."""
+    num_beams=1). ``first_ids`` [B, Lp] left-padded prompt token ids with
+    ``first_mask`` [B, Lp] marking real tokens (None = no padding): pad
+    slots consume no position ids (reference mask-cumsum positions,
+    modeling_opt.py:117) and are excluded from attention as keys
+    (modeling_opt.py:530-538). Returns int32 [B, max_len]."""
     B, P = prefix_embeds.shape[:2]
     Lp = first_ids.shape[1]
+    m = (jnp.ones((B, Lp), jnp.int32) if first_mask is None
+         else first_mask.astype(jnp.int32))
     # prime cache with prefix + prompt in one pass
     _, cache_vars = model.apply(
         variables, prefix_embeds,
         method=OPTForCausalLM.decode_prefix, mutable=["cache"])
     cache = cache_vars["cache"]
+    # positions: P prefix tokens, then cumsum over the prompt mask — a
+    # left-padded prompt's first real token sits at position P, and pad
+    # slots (clamped to P-1) are masked out of attention entirely
+    prompt_pos = jnp.maximum(P + jnp.cumsum(m, axis=1) * m - 1, 0)
     logits, cache_vars = model.apply(
-        {**variables, "cache": cache}, first_ids,
-        jnp.broadcast_to(jnp.arange(P, P + Lp)[None], (B, Lp)),
-        method=OPTForCausalLM.decode_step, mutable=["cache"])
+        {**variables, "cache": cache}, first_ids, prompt_pos,
+        method=OPTForCausalLM.decode_step, mutable=["cache"],
+        step_mask=m)
     cache = cache_vars["cache"]
     first_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    n_valid = jnp.sum(m, axis=1)                              # [B]
 
     def body(state):
         i, tok, cache, done, out = state
@@ -221,7 +245,7 @@ def opt_greedy_decode(model: OPTForCausalLM, variables, prefix_embeds,
         done = done | (tok == eos_id)
         logits, new_vars = model.apply(
             {**variables, "cache": cache}, nxt[:, None],
-            jnp.full((B, 1), P + Lp, jnp.int32) + i,
+            (P + n_valid)[:, None] + i,
             method=OPTForCausalLM.decode_step, mutable=["cache"])
         tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         return i + 1, tok, new_vars["cache"], done, out

@@ -465,9 +465,15 @@ def beam_search_decode(model: T5ForConditionalGeneration, variables,
     (step, _, run_score, seqs, fin_seqs, fin_scores, n_fin, _) = \
         jax.lax.while_loop(cond_fn, step_fn, state)
 
-    # finalize: running beams of unfinished batches join with the full-length
-    # penalty (len = max_len + start)
-    final_run = run_score / jnp.float32(max_len + 1) ** length_penalty
+    # finalize: running beams of UNFINISHED batches join with the full-length
+    # penalty (len = max_len + start).  HF BeamSearchScorer.finalize skips
+    # batches already done — without this gate a done batch's frozen running
+    # beam (negative sum-logprob / the larger max_len denominator) would
+    # outrank its properly finalized hypotheses (e.g. -3.0/31 > -1.2/4).
+    done_final = _batch_done(step, run_score, fin_scores, n_fin)
+    final_run = jnp.where(
+        done_final[:, None], NEG,
+        run_score / jnp.float32(max_len + 1) ** length_penalty)
     all_scores = jnp.concatenate([fin_scores, final_run], axis=1)
     all_seqs = jnp.concatenate([fin_seqs, seqs], axis=1)
     best = jnp.argmax(all_scores, axis=1)

@@ -64,6 +64,7 @@ def make_blip2_train_step(model: Blip2T5, tx: optax.GradientTransformation,
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         metrics = {"loss": loss}
+        finite = None
         if nan_guard != "off":
             from situation3d_tpu.train.trainer import finite_guard
             # trainable-only: keeps frozen-T5 weight grads DCE-able
@@ -72,6 +73,10 @@ def make_blip2_train_step(model: Blip2T5, tx: optax.GradientTransformation,
             metrics["grads_finite"] = finite.astype(jnp.float32)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if finite is not None:
+            from situation3d_tpu.train.trainer import gate_update
+            params, opt_state = gate_update(
+                finite, params, opt_state, state.params, state.opt_state)
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), metrics
 

@@ -100,6 +100,17 @@ def finite_guard(grads, trainable=None, loss=None, mode: str = "full"):
     return guarded, finite
 
 
+def gate_update(finite, new_params, new_opt_state, old_params, old_opt_state):
+    """Make a non-finite step a true no-op: select the OLD params/opt_state
+    when ``finite`` is False. Zeroed grads alone are not enough — adamw's
+    decoupled weight decay still moves every decayed param and the Adam
+    moments still decay on a zero gradient. The per-leaf selects fuse into
+    the update elementwise ops (no measurable cost)."""
+    sel = lambda new, old: jax.tree_util.tree_map(
+        lambda a, b: jnp.where(finite, a, b), new, old)
+    return sel(new_params, old_params), sel(new_opt_state, old_opt_state)
+
+
 def make_train_step(cfg: Config, model: SIG3D, tx: optax.GradientTransformation,
                     donate: bool = True) -> Callable:
     tag = cfg.model.situation_loss_tag
@@ -118,6 +129,7 @@ def make_train_step(cfg: Config, model: SIG3D, tx: optax.GradientTransformation,
         (loss, (terms, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         extra = {}
+        finite = None
         if cfg.train.nan_guard != "off":
             grads, finite = finite_guard(
                 grads, sig3d_trainable_mask(cfg, state.params),
@@ -125,6 +137,9 @@ def make_train_step(cfg: Config, model: SIG3D, tx: optax.GradientTransformation,
             extra["grads_finite"] = finite.astype(jnp.float32)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if finite is not None:
+            params, opt_state = gate_update(
+                finite, params, opt_state, state.params, state.opt_state)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state, rng=rng)
         metrics = dict(terms)

@@ -79,6 +79,41 @@ def test_opt_greedy_decode_parity(torch_opt):
     np.testing.assert_array_equal(got, want[:, :6])
 
 
+def test_opt_greedy_decode_ragged_prompt_parity(torch_opt):
+    """Left-padded (ragged) prompts vs HF generate: pad slots must consume
+    no position ids and be masked out as attention keys (ADVICE r2: the
+    uniform-length test could not catch either)."""
+    _, model = torch_opt
+    jopt, params = _jax_model_and_params(model)
+    rng = np.random.RandomState(4)
+    B, P, Lp = 3, 4, 5
+    prefix = rng.randn(B, P, 32).astype(np.float32) * 0.3
+    prompt = rng.randint(3, 128, (B, Lp)).astype(np.int64)
+    pmask = np.ones((B, Lp), np.int64)
+    pmask[1, :2] = 0
+    prompt[1, :2] = 1
+    pmask[2, :4] = 0
+    prompt[2, :4] = 1
+
+    with torch.no_grad():
+        wte = model.get_input_embeddings()
+        emb = torch.cat([torch.tensor(prefix), wte(torch.tensor(prompt))], 1)
+        mask = np.concatenate([np.ones((B, P), np.int64), pmask], 1)
+        want = model.generate(
+            inputs_embeds=emb,
+            attention_mask=torch.tensor(mask),
+            max_new_tokens=6, num_beams=1, do_sample=False,
+            eos_token_id=None, pad_token_id=1).numpy()
+
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(opt_greedy_decode(
+            jopt, {"params": params}, jnp.asarray(prefix),
+            jnp.asarray(prompt.astype(np.int32)), 6,
+            eos_id=-1, pad_id=1,
+            first_mask=jnp.asarray(pmask.astype(np.int32))))
+    np.testing.assert_array_equal(got, want[:, :6])
+
+
 def test_opt_causal_lm_loss():
     rng = np.random.RandomState(2)
     logits = jnp.asarray(rng.randn(2, 5, 16).astype(np.float32))

@@ -122,3 +122,37 @@ def test_combine_masks():
     assert c["scene_encoder"]["conv1"]["kernel"] is False
     assert c["lang_net"]["encoder"]["layer0"]["q"]["kernel"] is False
     assert c["answer_cls_fc1"]["kernel"] is True
+
+
+def test_finite_guard_gated_update_is_noop():
+    """A non-finite step must be a TRUE no-op (ADVICE r2): zeroed grads
+    alone still apply adamw weight decay and decay the Adam moments."""
+    import optax
+
+    from situation3d_tpu.train.trainer import finite_guard, gate_update
+
+    params = {"w": jnp.asarray(np.ones((3, 3), np.float32)),
+              "b": jnp.asarray(np.ones((3,), np.float32))}
+    tx = optax.adamw(1e-2, weight_decay=0.1)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def step(loss_val):
+        g, finite = finite_guard(grads, loss=jnp.float32(loss_val),
+                                 mode="loss")
+        updates, new_opt = tx.update(g, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return gate_update(finite, new_params, new_opt, params, opt_state)
+
+    # NaN loss: params AND opt state bit-identical to before
+    p_nan, o_nan = step(float("nan"))
+    for a, b in zip(jax.tree_util.tree_leaves(p_nan),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(o_nan),
+                    jax.tree_util.tree_leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # finite loss: params move
+    p_ok, o_ok = step(1.0)
+    assert float(np.abs(np.asarray(p_ok["w"]) - 1.0).sum()) > 0
