@@ -72,6 +72,11 @@ class SparseConfig:
     # fits and rows span one lane tile (ops/pallas/gather.py; measured
     # 1.5-1.7x on the C=64/128 levels) instead of XLA's gather engine.
     pallas_gather: bool = True
+    # conv0 (k5, stride 1) as a map-free z-window dense-feature-grid conv
+    # (sparse/conv.py sparse_conv0_zwin): removes the level-0 k5 kernel map
+    # (79% of per-sample map rows) and its 125 feature gathers entirely.
+    # Requires dense_lookup (uses grid_extent).
+    conv0_zwin: bool = True
 
 
 @dataclass

@@ -18,6 +18,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from situation3d_tpu.sparse.tensor import SparseVoxels
 
@@ -142,6 +143,28 @@ class SparseConv(nn.Module):
         return SparseVoxels(coords=out_coords, feats=out, mask=out_mask, stride=out_stride)
 
 
+class SparseConvZWin(nn.Module):
+    """The k5 stride-1 conv0 as a map-free z-window dense-grid conv (see
+    :func:`sparse_conv0_zwin`). Parameter tree identical to
+    ``SparseConv`` (one [125, C_in, C_out] kernel) so checkpoints are
+    interchangeable with the gather-map path."""
+    out_channels: int
+    extent: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: SparseVoxels) -> SparseVoxels:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
+            (125, x.num_channels, self.out_channels), jnp.float32)
+        out, _ = sparse_conv0_zwin(
+            x.feats.astype(self.dtype), x.coords, x.mask,
+            kernel.astype(self.dtype), tuple(self.extent))
+        return SparseVoxels(coords=x.coords, feats=out, mask=x.mask,
+                            stride=x.stride)
+
+
 class SparseConv1x1(nn.Module):
     """kernel_size=1 sparse conv == per-voxel dense projection (``final`` layer
     and BasicBlock downsample path in the reference)."""
@@ -220,6 +243,139 @@ def global_avg_pool(x: SparseVoxels) -> jnp.ndarray:
     s = jnp.sum(x.feats.astype(jnp.float32) * m, axis=1)
     n = jnp.maximum(jnp.sum(m, axis=1), 1.0)
     return s / n
+
+
+def sparse_conv0_zwin(
+    feats: jnp.ndarray,
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    kernel: jnp.ndarray,
+    extent,
+    precision=None,
+    batch_chunk: int = 2,
+):
+    """k5 stride-1 sparse conv via a window-packed dense FEATURE grid — no
+    kernel map at all.
+
+    The level-0 k5 conv (``conv0p1s1``, ``mink_unet.py`` MinkUNet18A) is
+    the single most expensive coordinate consumer in the network: its
+    kernel map alone is ``V*125`` single-int32 grid gathers (~6.1 M rows =
+    79% of the per-sample map budget at the measured ~65 M rows/s), plus
+    ``V*125`` feature-row gathers. This formulation removes both:
+
+    1. scatter the C_in=3 features (zero-padded to 4 lanes) into a dense
+       grid whose 128-lane rows pack ``4 y-cells x 8 z-slots x 4 ch`` —
+       exactly one TPU lane tile, so there is NO layout padding (a
+       naive [..., 4]-minor grid lane-pads 32x and OOMs at compile);
+    2. per output voxel, gather the 2x2 (y-group, z-chunk) window rows for
+       each of the 5 dx offsets — 20 contiguous 256 B rows/voxel instead
+       of 125 single int32s + 125 feature rows (bytes-bound at the
+       measured 13-18 GB/s: ~5 KB/voxel vs the map path's ~95 ms/sample
+       of serial single-element gathers);
+    3. extract the aligned 5x5 (y, z) taps with two one-hot einsums
+       (selection sums have exactly one nonzero term — bf16-exact);
+    4. one [V, 25*5*4] x [500, C_out] matmul — a 500-deep contraction the
+       MXU tiles well (the per-offset path contracts only C_in=3).
+
+    The batch is processed in ``lax.map`` chunks of ``batch_chunk`` so the
+    transient grid (~0.6 GB/sample at extent 512x512x256) never exceeds
+    ~1.2 GB regardless of batch size.
+
+    Numerically identical to the gather-map path up to f32 summation order
+    for all in-extent voxels (misses read zeros). Sole semantic difference:
+    out-of-extent voxels output ZERO here, where the map path still gives
+    them their partial in-extent neighborhoods — both count them in
+    ``extent_misses`` (an already-reported degraded case; scenes are meant
+    to fit the grid).
+
+    Args:
+      feats: [B, V, 3] (padding rows zero); coords int32 [B, V, 3] stride-1
+      voxels; mask bool [B, V]; kernel [125, 3, C_out] in kernel_offsets(5)
+      order (x slowest); extent static (X, Y, Z).
+    Returns ([B, V, C_out], extent_misses int32 [B]).
+    """
+    B, V, C_in = feats.shape
+    C_out = kernel.shape[-1]
+    X, Y, Z = extent
+    PAD = 2                      # k5 reach
+    CH = 4                       # C_in padded to a 4-lane slot
+    XP = X + 2 * PAD
+    # windows read group/chunk g0..g0+1 / c0..c0+1; sizes cover any Y, Z
+    NYG = (Y + 1) // 4 + 2       # y-groups of 4 (y' = y + PAD)
+    ZC = (Z - 1) // 8 + 2        # z-chunks of 8
+
+    in_extent = mask & jnp.all(coords >= 0, axis=-1) \
+        & (coords[..., 0] < X) & (coords[..., 1] < Y) & (coords[..., 2] < Z)
+    misses = jnp.sum((mask & ~in_extent).astype(jnp.int32), axis=1)
+
+    w4 = jnp.pad(kernel, ((0, 0), (0, CH - C_in), (0, 0)))       # [125, 4, C]
+    w4 = w4.reshape(125 * CH, C_out).astype(feats.dtype)
+    n_rows = XP * ZC * NYG
+    dxs = np.arange(-PAD, PAD + 1, dtype=np.int32)               # [5]
+
+    def one_chunk(args):
+        f, c, ext = args                                         # [bc, ...]
+        bc = f.shape[0]
+        xp = c[..., 0] + PAD
+        yp = c[..., 1] + PAD
+        zp = c[..., 2] + PAD
+        row = (xp * ZC + (zp >> 3)) * NYG + (yp >> 2)            # [bc, V]
+        row = jnp.where(ext, row, n_rows)                        # drop pads
+        lane = ((yp & 3) << 3) + (zp & 7)                        # [bc, V]
+
+        f4 = jnp.pad(f, ((0, 0), (0, 0), (0, CH - C_in)))
+        f4 = jnp.where(ext[..., None], f4, 0)
+        grid = jnp.zeros((bc, n_rows, 32, CH), f.dtype)
+        bidx = jnp.arange(bc)[:, None]
+        grid = grid.at[bidx, row, lane].set(f4, mode="drop")
+        grid = grid.reshape(bc, n_rows, 32 * CH)
+
+        # window rows: (dx 5) x (z-chunk 2) x (y-group 2)
+        c0 = (zp - PAD) >> 3
+        g0 = (yp - PAD) >> 2
+        # r[bc, V, 5dx, 2c, 2g]
+        r = ((xp[..., None, None, None] + dxs[None, None, :, None, None])
+             * ZC + c0[..., None, None, None]
+             + jnp.arange(2, dtype=jnp.int32)[None, None, None, :, None]) \
+            * NYG + g0[..., None, None, None] \
+            + jnp.arange(2, dtype=jnp.int32)[None, None, None, None, :]
+        r = jnp.where(ext[..., None, None, None], r, 0)
+        win = jnp.take_along_axis(grid, r.reshape(bc, V * 20)[..., None],
+                                  axis=1)
+        # [bc, V, dx5, c2, g2, ys4, s8, ch4]
+        win = win.reshape(bc, V, 5, 2, 2, 4, 8, CH)
+
+        # one-hot y extraction: window y-slot w = (g<<2)+ys holds cell
+        # y'-2+j at w = py + j, py = (y'-2) & 3... (relative to g0<<2)
+        py = (yp - PAD) - (g0 << 2)                              # [bc, V] in [0,3]
+        pz = (zp - PAD) - (c0 << 3)                              # [bc, V] in [0,7]
+        j5 = jnp.arange(5, dtype=jnp.int32)
+        ohy = (jnp.arange(8, dtype=jnp.int32)[None, None, None, :]
+               == py[..., None, None] + j5[None, None, :, None]
+               ).astype(f.dtype).reshape(bc, V, 5, 2, 4)         # [bc,V,j,g,ys]
+        ohz = (jnp.arange(16, dtype=jnp.int32)[None, None, None, :]
+               == pz[..., None, None] + j5[None, None, :, None]
+               ).astype(f.dtype).reshape(bc, V, 5, 2, 8)         # [bc,V,k,c,s]
+
+        t1 = jnp.einsum("bvdcgysh,bvjgy->bvdcshj", win, ohy,
+                        precision=precision)
+        xz = jnp.einsum("bvdcshj,bvkcs->bvdjkh", t1, ohz,
+                        precision=precision)                     # [bc,V,5,5,5,4]
+        out = jnp.einsum("bvm,mo->bvo", xz.reshape(bc, V, 125 * CH), w4,
+                         preferred_element_type=jnp.float32,
+                         precision=precision)
+        return jnp.where(ext[..., None], out, 0).astype(f.dtype)
+
+    bc = batch_chunk if B % batch_chunk == 0 else 1
+    if bc == B:
+        out = one_chunk((feats, coords, in_extent))
+    else:
+        out = jax.lax.map(one_chunk, (
+            feats.reshape(B // bc, bc, V, C_in),
+            coords.reshape(B // bc, bc, V, 3),
+            in_extent.reshape(B // bc, bc, V)))
+        out = out.reshape(B, V, C_out)
+    return out, misses
 
 
 def sparse_conv_dense_grid(

@@ -48,6 +48,7 @@ def build_unet_plan(
     capacities: Sequence[int],
     dense_lookup: bool = True,
     extent: Sequence[int] = (512, 512, 256),
+    need_k5: bool = True,
 ) -> Dict[str, Any]:
     """Build all coordinate sets and kernel maps for the UNet, batched.
 
@@ -89,7 +90,10 @@ def build_unet_plan(
         levels.append({"coords": c, "mask": m})
 
     # level 0 builds the k5 map once and slices the k3 map out of it (the 27
-    # offsets of kernel 3 are a subset of kernel 5's 125), saving a pass
+    # offsets of kernel 3 are a subset of kernel 5's 125), saving a pass.
+    # With the z-window conv0 (sparse_conv0_zwin) the k5 map is not needed
+    # at all (need_k5=False): level 0 gets a direct k3 map, which QA-mode
+    # forwards never read — XLA dead-code-eliminates its construction.
     k5_np = kernel_offsets(5)
     k3_in_k5 = jnp.asarray(
         [int(np.flatnonzero((k5_np == o).all(1))[0]) for o in kernel_offsets(3)])
@@ -133,8 +137,11 @@ def build_unet_plan(
     for i, lvl in enumerate(levels):
         s = STRIDES[i]
         if i == 0:
-            lvl["map_k5"] = lookup(0, lvl["coords"], lvl["mask"], k5, s)
-            lvl["map_k3"] = lvl["map_k5"][:, :, k3_in_k5]
+            if need_k5:
+                lvl["map_k5"] = lookup(0, lvl["coords"], lvl["mask"], k5, s)
+                lvl["map_k3"] = lvl["map_k5"][:, :, k3_in_k5]
+            else:
+                lvl["map_k3"] = lookup(0, lvl["coords"], lvl["mask"], k3, s)
         else:
             lvl["map_k3"] = lookup(i, lvl["coords"], lvl["mask"], k3, s)
         if i > 0:
@@ -240,7 +247,14 @@ class MinkUNet(nn.Module):
         out: Dict[str, Any] = {}
         x = x.replace(feats=x.feats.astype(dt))
 
-        h = conv("conv0p1s1", cfg.init_dim, 125, x, L[0]["map_k5"], L[0], 1)
+        if cfg.conv0_zwin and cfg.dense_lookup:
+            # map-free z-window formulation: removes conv0's 6.1 M map rows
+            # + 6.1 M feature rows per sample (sparse/conv.py)
+            from situation3d_tpu.sparse.conv import SparseConvZWin
+            h = SparseConvZWin(cfg.init_dim, tuple(cfg.grid_extent),
+                               dtype=dt, name="conv0p1s1")(x)
+        else:
+            h = conv("conv0p1s1", cfg.init_dim, 125, x, L[0]["map_k5"], L[0], 1)
         h = sparse_relu(bn("bn0", h))
         out_p1 = h
 

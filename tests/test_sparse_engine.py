@@ -393,3 +393,92 @@ def test_block_lookup_matches_elementwise(rng):
                                                   1, 1, extent)
         np.testing.assert_array_equal(np.asarray(got_block), np.asarray(want))
         np.testing.assert_array_equal(np.asarray(got_elem), np.asarray(want))
+
+
+def test_conv0_zwin_matches_gather_path(rng):
+    """sparse_conv0_zwin (map-free z-window dense-grid k5 conv) must equal
+    the kernel-map gather path, including extent misses and boundary
+    windows."""
+    from situation3d_tpu.sparse.conv import sparse_conv0_zwin
+    from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                   lookup_kernel_map_dense)
+
+    extent = (32, 24, 16)
+    B, cap, n_occ = 4, 96, 80    # B > batch_chunk exercises the lax.map path
+    coords = np.zeros((B, cap, 3), np.int32)
+    mask = np.zeros((B, cap), bool)
+    for b in range(B):
+        c, m = make_sparse(rng, n_occ, span=16, cap=cap, seed_offset=b)
+        # push some voxels to the extent boundary and a few OUT of extent
+        c[:10, 0] += 16              # x in [16, 32)
+        c[5:8, 2] += 8               # z up to 23 (> extent z=16: misses)
+        coords[b], mask[b] = c, m
+    feats = rng.randn(B, cap, 3).astype(np.float32)
+    feats[~mask] = 0
+    kernel = rng.randn(125, 3, 8).astype(np.float32) * 0.1
+
+    offs = jnp.asarray(kernel_offsets(5))
+    grid, _ = jax.vmap(lambda c, m: build_level_grid(c, m, 1, extent))(
+        jnp.asarray(coords), jnp.asarray(mask))
+    nbr = jax.vmap(lambda g, oc, om: lookup_kernel_map_dense(
+        g, cap, oc, om, offs, 1, 1, extent))(
+        grid, jnp.asarray(coords), jnp.asarray(mask))
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(sparse_conv_apply(
+            jnp.asarray(feats), nbr, jnp.asarray(kernel)))
+        got, misses = sparse_conv0_zwin(
+            jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(mask),
+            jnp.asarray(kernel), extent)
+    # in-extent voxels: exact agreement. Out-of-extent voxels are the
+    # documented semantic difference: the map path gives them partial
+    # neighborhoods, zwin zeroes them (both report extent_misses).
+    in_ext = mask & (coords[..., 2] < extent[2])
+    np.testing.assert_allclose(np.asarray(got)[in_ext], want[in_ext],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got)[~in_ext], 0.0)
+    expected_misses = int((mask & (coords[..., 2] >= extent[2])).sum())
+    assert int(np.asarray(misses).sum()) == expected_misses > 0
+
+
+def test_conv0_zwin_gradients_match(rng):
+    """Gradients through the z-window conv (scatter/gather/one-hot einsum)
+    must match the kernel-map path for both feats and kernel."""
+    from situation3d_tpu.sparse.conv import sparse_conv0_zwin
+    from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                   lookup_kernel_map_dense)
+
+    extent = (16, 16, 16)
+    B, cap, n_occ = 1, 48, 40
+    c, m = make_sparse(rng, n_occ, span=14, cap=cap)
+    coords, mask = c[None], m[None]
+    feats = rng.randn(B, cap, 3).astype(np.float32)
+    feats[~mask] = 0
+    kernel = rng.randn(125, 3, 4).astype(np.float32) * 0.1
+
+    offs = jnp.asarray(kernel_offsets(5))
+    grid, _ = jax.vmap(lambda c, m: build_level_grid(c, m, 1, extent))(
+        jnp.asarray(coords), jnp.asarray(mask))
+    nbr = jax.vmap(lambda g, oc, om: lookup_kernel_map_dense(
+        g, cap, oc, om, offs, 1, 1, extent))(
+        grid, jnp.asarray(coords), jnp.asarray(mask))
+
+    tgt = rng.randn(B, cap, 4).astype(np.float32)
+
+    def loss_ref(f, k):
+        out = sparse_conv_apply(f, nbr, k)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_zwin(f, k):
+        out, _ = sparse_conv0_zwin(f, jnp.asarray(coords),
+                                   jnp.asarray(mask), k, extent)
+        return jnp.sum((out - tgt) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        gf_ref, gk_ref = jax.grad(loss_ref, (0, 1))(
+            jnp.asarray(feats), jnp.asarray(kernel))
+        gf_z, gk_z = jax.grad(loss_zwin, (0, 1))(
+            jnp.asarray(feats), jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(gf_z), np.asarray(gf_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_z), np.asarray(gk_ref),
+                               rtol=1e-4, atol=1e-4)
