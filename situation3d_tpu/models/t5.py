@@ -390,7 +390,7 @@ def beam_search_decode(model: T5ForConditionalGeneration, variables,
 
     def step_fn(state):
         (step, tokens, run_score, seqs, fin_seqs, fin_scores, n_fin,
-         cache) = state
+         done, cache) = state
         logits, new_vars = model.apply(
             {**variables, "cache": cache}, enc_rep, mask_rep,
             tokens.reshape(B * M, 1),
@@ -407,27 +407,32 @@ def beam_search_decode(model: T5ForConditionalGeneration, variables,
         beam2 = idx2 // vocab
         tok2 = idx2 % vocab
         is_eos = tok2 == eos_id
-        done = _batch_done(step, run_score, fin_scores, n_fin)  # [B]
+        # candidate "hits a stopping criterion" (HF _beam_search
+        # next_token_hits_stopping_criteria): EOS generated, or the running
+        # length reached max_length — on the last step EVERY candidate
+        # finalizes (this replaces a separate post-loop running-beam join).
+        hits = is_eos | (step == max_len - 1)
 
-        # ---- finalize EOS candidates (denominator = step+1: start + step
-        # generated tokens, EOS excluded from the length as in
-        # BeamHypotheses.add) --------------------------------------------
+        # ---- finalize hit candidates (HF _update_finished_beams): only the
+        # top-M ranks of the 2M candidates may finalize (top_num_beam_mask),
+        # blocked for batches already done; denominator = step+1 (start +
+        # generated incl. the new token, minus the prompt) -----------------
+        top_rank = jnp.arange(2 * M)[None, :] < M              # [1, 2M]
+        fin_mask = hits & top_rank & ~done[:, None]
         eos_fin_scores = jnp.where(
-            is_eos & ~done[:, None],
-            top2 / jnp.float32(step + 1) ** length_penalty, NEG)  # [B, 2M]
+            fin_mask, top2 / jnp.float32(step + 1) ** length_penalty, NEG)
         prefix = jnp.take_along_axis(
             seqs, beam2[:, :, None], axis=1)                   # [B, 2M, L]
-        cand_fin = prefix.at[:, :, step].set(eos_id)
+        cand_fin = prefix.at[:, :, step].set(tok2)             # EOS or last tok
         all_scores = jnp.concatenate([fin_scores, eos_fin_scores], axis=1)
         all_seqs = jnp.concatenate([fin_seqs, cand_fin], axis=1)
         keep_s, keep_i = jax.lax.top_k(all_scores, M)
         fin_scores = keep_s
         fin_seqs = jnp.take_along_axis(all_seqs, keep_i[:, :, None], axis=1)
-        n_fin = n_fin + jnp.sum((is_eos & ~done[:, None]).astype(jnp.int32),
-                                axis=1)
+        n_fin = n_fin + jnp.sum(fin_mask.astype(jnp.int32), axis=1)
 
-        # ---- survivors: top-M non-EOS candidates ------------------------
-        cont = jnp.where(is_eos, NEG, top2)
+        # ---- survivors: top-M non-hit candidates ------------------------
+        cont = jnp.where(hits, NEG, top2)
         sel_s, sel_i = jax.lax.top_k(cont, M)                  # [B, M]
         sel_beam = jnp.take_along_axis(beam2, sel_i, axis=1)
         sel_tok = jnp.take_along_axis(tok2, sel_i, axis=1)
@@ -444,13 +449,20 @@ def beam_search_decode(model: T5ForConditionalGeneration, variables,
         cache = jax.tree_util.tree_map(
             lambda c: jnp.take(c, flat_idx, axis=0) if c.ndim and
             c.shape[0] == B * M else c, cache)
+        # HF latches the early-stop state (is_early_stop_heuristic_unsatisfied
+        # is AND-ed each step): once a batch trips is_done it stays done, even
+        # though the frozen negative run_score divided by a growing
+        # denominator would later rise above the worst kept hypothesis and
+        # "un-trip" a recomputed criterion (which would resume decoding from a
+        # pad-corrupted state).  Denominator = step+1 generated tokens
+        # (HF: cur_len_new - decoder_prompt_len).
+        done = done | _batch_done(step, run_score, fin_scores, n_fin)
         return (step + 1, sel_tok[..., None], run_score, seqs, fin_seqs,
-                fin_scores, n_fin, cache)
+                fin_scores, n_fin, done, cache)
 
     def cond_fn(state):
-        step, _, run_score, _, _, fin_scores, n_fin, _ = state
-        return (step < max_len) & ~jnp.all(
-            _batch_done(step, run_score, fin_scores, n_fin))
+        step, _, _, _, _, _, _, done, _ = state
+        return (step < max_len) & ~jnp.all(done)
 
     run0 = jnp.tile(jnp.asarray([0.0] + [-1e9] * (M - 1), jnp.float32),
                     (B, 1))
@@ -461,23 +473,17 @@ def beam_search_decode(model: T5ForConditionalGeneration, variables,
              jnp.full((B, M, max_len), pad_id, jnp.int32),
              jnp.full((B, M), NEG),
              jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), bool),
              init_cache)
-    (step, _, run_score, seqs, fin_seqs, fin_scores, n_fin, _) = \
+    (step, _, run_score, seqs, fin_seqs, fin_scores, n_fin, done_final, _) = \
         jax.lax.while_loop(cond_fn, step_fn, state)
 
-    # finalize: running beams of UNFINISHED batches join with the full-length
-    # penalty (len = max_len + start).  HF BeamSearchScorer.finalize skips
-    # batches already done — without this gate a done batch's frozen running
-    # beam (negative sum-logprob / the larger max_len denominator) would
-    # outrank its properly finalized hypotheses (e.g. -3.0/31 > -1.2/4).
-    done_final = _batch_done(step, run_score, fin_scores, n_fin)
-    final_run = jnp.where(
-        done_final[:, None], NEG,
-        run_score / jnp.float32(max_len + 1) ** length_penalty)
-    all_scores = jnp.concatenate([fin_scores, final_run], axis=1)
-    all_seqs = jnp.concatenate([fin_seqs, seqs], axis=1)
-    best = jnp.argmax(all_scores, axis=1)
-    return jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0]
+    # No post-loop running-beam join: HF's vectorized _beam_search finalizes
+    # the top-M candidates on the last step (every candidate hits the
+    # max-length stopping criterion there), so by loop exit every batch holds
+    # >= M finished hypotheses and the answer is the best finished one.
+    best = jnp.argmax(fin_scores, axis=1)
+    return jnp.take_along_axis(fin_seqs, best[:, None, None], axis=1)[:, 0]
 
 
 def greedy_decode(model: T5ForConditionalGeneration, variables,

@@ -521,3 +521,54 @@ def test_mcan_ed_attflat_parity():
     np.testing.assert_allclose(np.asarray(gy), ty.numpy(), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gflat), tflat.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_t5_beam_search_all_batches_finish_early():
+    """Regression (ADVICE r2 high): when every batch emits EOS well before
+    max_length, HF's finalize skips done batches — without that gate a
+    frozen running beam (sum-logprob / the larger max_len denominator)
+    outranks the true best hypothesis. Seed pinned to a case where the
+    unfixed code returns the wrong winner for batch 2."""
+    cfg_hf = transformers.T5Config(
+        vocab_size=12, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=32,
+        relative_attention_max_distance=128, dense_act_fn="gelu",
+        is_gated_act=True, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=False, decoder_start_token_id=0)
+    torch.manual_seed(3)
+    model = transformers.T5ForConditionalGeneration(cfg_hf)
+    model.eval()
+    rng = np.random.RandomState(6)
+    enc_ids = rng.randint(2, 12, (3, 6)).astype(np.int64)
+    with torch.no_grad():
+        want = model.generate(
+            input_ids=torch.tensor(enc_ids),
+            attention_mask=torch.ones((3, 6), dtype=torch.long),
+            max_new_tokens=12, num_beams=3, do_sample=False,
+            length_penalty=1.0, early_stopping=False).numpy()
+    hf = want[:, 1:]
+    # precondition: every batch finished early (else the test is vacuous)
+    assert all((row == 1).any() and (row == 1).argmax() < 8 for row in hf)
+
+    cfg = T5Config(vocab_size=12, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+                   num_decoder_layers=2, num_heads=4, dense_act_fn="gelu",
+                   is_gated_act=True, tie_word_embeddings=False,
+                   max_answer_len=12, eos_token_id=1, pad_token_id=0,
+                   decoder_start_token_id=0)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_t5(sd, 2, 2, 12)
+    from situation3d_tpu.models.t5 import (T5ForConditionalGeneration as JT5,
+                                           beam_search_decode)
+    jt5 = JT5(cfg)
+    embeds = np.asarray(params["shared"]["embedding"])[enc_ids]
+    got = np.asarray(beam_search_decode(
+        jt5, {"params": params}, jnp.asarray(embeds),
+        jnp.ones((3, 6), jnp.int32), 12, 0, 1, 0,
+        num_beams=3, length_penalty=1.0))
+
+    def upto_eos(row):
+        row = list(row)
+        return row[:row.index(1) + 1] if 1 in row else row
+
+    for g, h in zip(got, hf):
+        assert upto_eos(g) == upto_eos(h), (g, h)
