@@ -13,6 +13,7 @@ skinny ``C_in``; accumulation happens in float32 regardless of the
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -245,6 +246,35 @@ def global_avg_pool(x: SparseVoxels) -> jnp.ndarray:
     return s / n
 
 
+@functools.lru_cache(maxsize=1)
+def _zwin_phase_maps():
+    """Static (phase, window-position, kernel-tap) index triplets for the
+    z-window conv0 phase-expanded weight scatter.
+
+    For a voxel whose padded coords have phase ``py = (y+PAD-2)&3``,
+    ``pz = (z+PAD-2)&7`` (== y&3, z&7 at PAD=2), kernel tap
+    ``(dx, j, k, ch)`` (y offset j-2, z offset k-2) lives in the gathered
+    ``[20, 128]`` window block at flat position
+    ``m = ((dx*2+cc)*2+gg)*128 + (ys*8+s)*4 + ch`` with
+    ``gg, ys = (py+j) >> 2, (py+j) & 3`` and ``cc, s = (pz+k) >> 3,
+    (pz+k) & 7`` — matching the scatter's ``(4 y-cells x 8 z-slots x 4 ch)``
+    lane packing and the window row order ``(dx, z-chunk, y-group)``.
+    Kernel taps are indexed into the ``[125*4, C_out]`` flattened kernel in
+    kernel_offsets(5) order (x slowest): ``t = ((dx*5+j)*5+k)*4 + ch``.
+    """
+    py, pz, dx, j, k, ch = np.meshgrid(
+        np.arange(4), np.arange(8), np.arange(5), np.arange(5), np.arange(5),
+        np.arange(4), indexing="ij")
+    w = py + j
+    u = pz + k
+    p_idx = (py * 8 + pz).ravel()
+    m_idx = (((dx * 2 + (u >> 3)) * 2 + (w >> 2)) * 128
+             + ((w & 3) * 8 + (u & 7)) * 4 + ch).ravel()
+    t_idx = (((dx * 5 + j) * 5 + k) * 4 + ch).ravel()
+    return (np.asarray(p_idx, np.int32), np.asarray(m_idx, np.int32),
+            np.asarray(t_idx, np.int32))
+
+
 def sparse_conv0_zwin(
     feats: jnp.ndarray,
     coords: jnp.ndarray,
@@ -272,10 +302,19 @@ def sparse_conv0_zwin(
        of 125 single int32s + 125 feature rows (bytes-bound at the
        measured 13-18 GB/s: ~5 KB/voxel vs the map path's ~95 ms/sample
        of serial single-element gathers);
-    3. extract the aligned 5x5 (y, z) taps with two one-hot einsums
-       (selection sums have exactly one nonzero term — bf16-exact);
-    4. one [V, 25*5*4] x [500, C_out] matmul — a 500-deep contraction the
-       MXU tiles well (the per-offset path contracts only C_in=3).
+    3. contract the whole [V, 20*128] window block with a PHASE-EXPANDED
+       weight matrix [2560, 32*C_out]: a voxel's taps sit at window/lane
+       positions determined solely by its (y&3, z&7) phase, so the kernel
+       is pre-scattered into 32 per-phase column blocks (16k-row static
+       scatter of the [125, C_in, C_out] kernel) and the tap extraction +
+       conv become ONE 2560-deep MXU matmul;
+    4. select each voxel's phase block with a one-hot einsum over the 32
+       phases (exactly one nonzero term — selection-exact).
+
+    Tap extraction via intermediate one-hot einsums instead (the first
+    formulation) compiles to dot outputs with 4-/5-wide minor dims that
+    Mosaic lane-pads 32x (a 36 GB allocation at the SQA3D extent); the
+    phase-matmul keeps every big intermediate at a 128-multiple minor.
 
     The batch is processed in ``lax.map`` chunks of ``batch_chunk`` so the
     transient grid (~0.6 GB/sample at extent 512x512x256) never exceeds
@@ -308,10 +347,18 @@ def sparse_conv0_zwin(
         & (coords[..., 0] < X) & (coords[..., 1] < Y) & (coords[..., 2] < Z)
     misses = jnp.sum((mask & ~in_extent).astype(jnp.int32), axis=1)
 
-    w4 = jnp.pad(kernel, ((0, 0), (0, CH - C_in), (0, 0)))       # [125, 4, C]
-    w4 = w4.reshape(125 * CH, C_out).astype(feats.dtype)
     n_rows = XP * ZC * NYG
     dxs = np.arange(-PAD, PAD + 1, dtype=np.int32)               # [5]
+
+    # phase-expanded weight: WPmat[m, p*C_out+o] holds kernel tap
+    # (dx, j, k, ch) at the window/lane position m where a voxel of phase
+    # p = (py, pz) finds that tap in its gathered [20, 128] window block
+    p_idx, m_idx, t_idx = _zwin_phase_maps()
+    k4 = jnp.pad(kernel, ((0, 0), (0, CH - C_in), (0, 0)))       # [125, 4, C]
+    k4 = k4.reshape(125 * CH, C_out).astype(feats.dtype)
+    WP = jnp.zeros((32, 20 * 128, C_out), feats.dtype)
+    WP = WP.at[p_idx, m_idx].set(jnp.take(k4, t_idx, axis=0))
+    WPmat = WP.transpose(1, 0, 2).reshape(20 * 128, 32 * C_out)
 
     def one_chunk(args):
         f, c, ext = args                                         # [bc, ...]
@@ -321,14 +368,19 @@ def sparse_conv0_zwin(
         zp = c[..., 2] + PAD
         row = (xp * ZC + (zp >> 3)) * NYG + (yp >> 2)            # [bc, V]
         row = jnp.where(ext, row, n_rows)                        # drop pads
-        lane = ((yp & 3) << 3) + (zp & 7)                        # [bc, V]
+        lane = (((yp & 3) << 3) + (zp & 7)) * CH                 # [bc, V]
 
-        f4 = jnp.pad(f, ((0, 0), (0, 0), (0, CH - C_in)))
-        f4 = jnp.where(ext[..., None], f4, 0)
-        grid = jnp.zeros((bc, n_rows, 32, CH), f.dtype)
+        # scalar scatter into the flat 128-lane grid (a [.., 32, CH] grid
+        # materializes CH-minor -> lane-padded 32x -> 36 GB at the SQA3D
+        # extent; this keeps the only big buffer at exactly [n_rows, 128])
         bidx = jnp.arange(bc)[:, None]
-        grid = grid.at[bidx, row, lane].set(f4, mode="drop")
-        grid = grid.reshape(bc, n_rows, 32 * CH)
+        fz = jnp.where(ext[..., None], f, 0)
+        rows_c = jnp.broadcast_to(row[..., None], (bc, V, C_in))
+        lanes_c = lane[..., None] + jnp.arange(C_in, dtype=jnp.int32)
+        grid = jnp.zeros((bc, n_rows, 128), f.dtype)
+        grid = grid.at[bidx, rows_c.reshape(bc, V * C_in),
+                       lanes_c.reshape(bc, V * C_in)].set(
+            fz.reshape(bc, V * C_in), mode="drop")
 
         # window rows: (dx 5) x (z-chunk 2) x (y-group 2)
         c0 = (zp - PAD) >> 3
@@ -341,27 +393,18 @@ def sparse_conv0_zwin(
             + jnp.arange(2, dtype=jnp.int32)[None, None, None, None, :]
         r = jnp.where(ext[..., None, None, None], r, 0)
         win = jnp.take_along_axis(grid, r.reshape(bc, V * 20)[..., None],
-                                  axis=1)
-        # [bc, V, dx5, c2, g2, ys4, s8, ch4]
-        win = win.reshape(bc, V, 5, 2, 2, 4, 8, CH)
+                                  axis=1)                        # [bc, V*20, 128]
 
-        # one-hot y extraction: window y-slot w = (g<<2)+ys holds cell
-        # y'-2+j at w = py + j, py = (y'-2) & 3... (relative to g0<<2)
-        py = (yp - PAD) - (g0 << 2)                              # [bc, V] in [0,3]
-        pz = (zp - PAD) - (c0 << 3)                              # [bc, V] in [0,7]
-        j5 = jnp.arange(5, dtype=jnp.int32)
-        ohy = (jnp.arange(8, dtype=jnp.int32)[None, None, None, :]
-               == py[..., None, None] + j5[None, None, :, None]
-               ).astype(f.dtype).reshape(bc, V, 5, 2, 4)         # [bc,V,j,g,ys]
-        ohz = (jnp.arange(16, dtype=jnp.int32)[None, None, None, :]
-               == pz[..., None, None] + j5[None, None, :, None]
-               ).astype(f.dtype).reshape(bc, V, 5, 2, 8)         # [bc,V,k,c,s]
-
-        t1 = jnp.einsum("bvdcgysh,bvjgy->bvdcshj", win, ohy,
-                        precision=precision)
-        xz = jnp.einsum("bvdcshj,bvkcs->bvdjkh", t1, ohz,
-                        precision=precision)                     # [bc,V,5,5,5,4]
-        out = jnp.einsum("bvm,mo->bvo", xz.reshape(bc, V, 125 * CH), w4,
+        # one 2560-deep MXU matmul computes the conv for ALL 32 phases,
+        # then the voxel's true phase block is selected one-hot
+        out_all = jnp.einsum(
+            "bvm,mq->bvq", win.reshape(bc, V, 20 * 128), WPmat,
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(f.dtype)                 # [bc,V,32*C]
+        phase = ((yp - PAD) & 3) * 8 + ((zp - PAD) & 7)          # [bc, V]
+        oh = jax.nn.one_hot(phase, 32, dtype=f.dtype)
+        out = jnp.einsum("bvpo,bvp->bvo",
+                         out_all.reshape(bc, V, 32, C_out), oh,
                          preferred_element_type=jnp.float32,
                          precision=precision)
         return jnp.where(ext[..., None], out, 0).astype(f.dtype)
