@@ -27,6 +27,8 @@ class DataConfig:
     sqa_test: str = "assets/data/sqa/SQA_test.json"
     answer_counter: str = "assets/data/sqa/answer_counter.json"
     scene_dir: str = "assets/data/scannet_3d"
+    scans_dir: str = "assets/data/scannet/scans"  # ScanNet meta with the
+    # axisAlignment matrices (sepdataset.py:441-449); identity if absent
     max_text_len: int = 100            # CONF.TRAIN.MAX_TEXT_LEN (lib/config.py:51)
     num_answers: int = 706             # answer vocab size (answer_max_size train.py:46)
     answer_min_freq: int = 1           # train.py:45 answer_cands filtering

@@ -130,7 +130,8 @@ class SQA3DDataset:
         self.records = records
         self.scenes = scenes if scenes is not None else {}
         self._scene_dir = cfg.data.scene_dir
-        self._scans_dir = scans_dir
+        self._scans_dir = scans_dir if scans_dir is not None \
+            else getattr(cfg.data, "scans_dir", None)
         self.tag = cfg.model.situation_loss_tag
         self.include_labels = include_labels  # per-voxel GT labels for seg eval
         self.rng = np.random.RandomState(cfg.data.seed)

@@ -79,11 +79,12 @@ class T5TextEncoder:
         m[: n - 1] = 1
         return out, m
 
-    def decode(self, ids: np.ndarray) -> str:
+    def decode(self, ids) -> str:
+        ids = np.asarray(ids).tolist()
         if self.hf is not None:
-            return self.hf.decode([i for i in ids.tolist() if i > 1],
+            return self.hf.decode([i for i in ids if i > 1],
                                   skip_special_tokens=True)
-        return " ".join(f"tok{i}" for i in ids.tolist() if i > 1)
+        return " ".join(f"tok{i}" for i in ids if i > 1)
 
 
 class ThreeDVQADataset:

@@ -281,3 +281,51 @@ class Blip2Qformer(nn.Module):
         loss = loss_itc + loss_itm + loss_lm
         return {"loss": loss, "loss_itc": loss_itc, "loss_itm": loss_itm,
                 "loss_lm": loss_lm}
+
+
+@registry.register_model("blip2_image_text_matching")
+class Blip2ITM(Blip2Qformer):
+    """Standalone image-text matching model
+    (``blip2_image_text_matching.py:15-108``, Blip2ITM): the stage-1
+    Q-Former re-exposed as a scorer. ``__call__(batch, match_head)``
+    returns
+
+    - ``match_head="itm"``: the 2-way ITM logits per (scene, text) pair —
+      joint [query ; text] encoding, ``itm_head`` averaged over the query
+      outputs (``:69-85``; NOT softmaxed, like the reference);
+    - ``match_head="itc"``: the max-over-queries cosine similarity
+      (``:87-108``) — normalized ``vision_proj`` query features against the
+      normalized text CLS projection, WITHOUT the learned temperature
+      (the reference ITC head omits ``self.temp`` here too).
+
+    batch: image_embeds [B,N,encoder_width], image_mask [B,N],
+    text_ids/text_mask [B,Lt]. Tokenization happens outside jit (the
+    reference calls ``self.tokenizer`` inline; we take ids)."""
+
+    def __call__(self, batch: Dict[str, Any],          # type: ignore[override]
+                 match_head: str = "itm") -> jnp.ndarray:
+        if match_head not in ("itm", "itc"):
+            raise ValueError(f"match_head must be itm|itc, got {match_head!r}")
+        image_embeds = batch["image_embeds"].astype(self.dtype)
+        image_mask = batch["image_mask"]
+        text_ids, text_mask = batch["text_ids"], batch["text_mask"]
+        # at init, trace BOTH heads so the full parameter tree materializes
+        # regardless of which head the first apply selects (torch modules
+        # always own both; flax params exist only if touched)
+        heads = ("itm", "itc") if self.is_initializing() else (match_head,)
+        out = None
+        for head in heads:
+            if head == "itm":
+                mm = self.qformer(enc_states=image_embeds,
+                                  enc_mask=image_mask, text_ids=text_ids,
+                                  text_mask=text_mask, use_query=True)
+                logits = self.itm_head(mm[:, :self.cfg.num_query_tokens])
+                val = jnp.mean(logits, axis=1)                   # [B, 2]
+            else:
+                img, txt = self.itc_projections(image_embeds, image_mask,
+                                                text_ids, text_mask)
+                sims = jnp.einsum("bqd,bd->bq", img, txt)
+                val = jnp.max(sims, axis=1)                      # [B]
+            if head == match_head:
+                out = val
+        return out

@@ -148,5 +148,112 @@ class RetrievalTask:
         return retrieval_metrics(i2t, t2i, img2txt, txt2img)
 
 
+@registry.register_task("dialogue")
+class DialogueTask(ThreeDVQATask):
+    """Dialogue finetuning task (``lavis/tasks/dialogue.py:21-64``,
+    DialogueTask): validation is *loss-based* — ``valid_step`` returns the
+    model's LM loss on each batch and ``after_evaluation`` aggregates the
+    mean as ``agg_metrics`` (the reference's pycoco/COCO-download report
+    path is dead code behind ``report_metric`` and never runs offline).
+    Dialogue turns ride the 3d_vqa record schema: the concatenated history
+    is the question, the reply the answer."""
+
+    def valid_step(self, model, variables, batch) -> float:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k != "question_id"}
+        out = model.apply(variables, batch)
+        loss = out["loss"] if isinstance(out, dict) else out
+        return float(jax.device_get(loss))
+
+    @staticmethod
+    def after_evaluation(losses) -> Dict[str, float]:
+        m = float(np.mean(losses)) if len(losses) else 0.0
+        return {"agg_metrics": m, "loss": m}
+
+
+@registry.register_task("multimodal_classification")
+class MultimodalClassificationTask(SQA3DTask):
+    """Closed-vocabulary classification task
+    (``lavis/tasks/multimodal_classification.py:20-79``): ``valid_step``
+    records {id, prediction, target} from the model's class logits
+    (SIG3D's answer head is the 3D instance), ``after_evaluation``
+    deduplicates by instance id and reports accuracy as ``agg_metrics``."""
+
+    inst_id_key = "question_id"
+
+    def valid_step(self, model, variables, batch, rng=None) -> list:
+        clean = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k not in ("question_id", "answer_cat", "answer_cats",
+                              "voxel_labels")}
+        out = model.apply(variables, clean, train=False,
+                          rngs={"sample": rng if rng is not None
+                                else jax.random.PRNGKey(0)})
+        logits = out["answer_scores"] if isinstance(out, dict) else out
+        preds = np.asarray(jax.device_get(jnp.argmax(logits, axis=-1)))
+        targets = np.asarray(batch["answer_cat"]).reshape(-1)
+        ids = np.asarray(batch[self.inst_id_key]).reshape(-1)
+        return [{self.inst_id_key: i.item() if hasattr(i, "item") else i,
+                 "prediction": int(p), "target": int(t)}
+                for i, p, t in zip(ids, preds, targets)]
+
+    @staticmethod
+    def after_evaluation(results) -> Dict[str, float]:
+        seen: Dict[int, Dict] = {}
+        for r in results:   # remove_duplicate=inst_id_key (save_result)
+            seen.setdefault(r["question_id"], r)
+        if not seen:
+            return {"agg_metrics": 0.0, "acc": 0.0}
+        acc = float(np.mean([r["prediction"] == r["target"]
+                             for r in seen.values()]))
+        return {"agg_metrics": acc, "acc": acc}
+
+
+@registry.register_task("vqa_reading_comprehension")
+class VQARCTask(ThreeDVQATask):
+    """Reading-comprehension VQA (``lavis/tasks/
+    vqa_reading_comprehension.py:22-162``, VQARCTask): generation-based
+    QA with the full decoding-knob surface (num_beams / max_len / min_len /
+    top_k / top_p / repetition_penalty). The reference's caption+gradcam
+    FiD stage is BLIP-1 machinery (model.predict_answers with
+    num_captions/block_num); the TPU analogue decodes directly from the
+    scene-conditioned encoder with the same knobs."""
+
+    def __init__(self, cfg: Config, synthetic: bool = False,
+                 num_beams: int = 3, max_len: int = 10, min_len: int = 1,
+                 top_p: float = 0.9, repetition_penalty: float = 1.0,
+                 use_nucleus_sampling: bool = False):
+        super().__init__(cfg, synthetic=synthetic)
+        self.num_beams = num_beams
+        self.max_len = max_len
+        self.min_len = min_len
+        self.top_p = top_p
+        self.repetition_penalty = repetition_penalty
+        self.use_nucleus_sampling = use_nucleus_sampling
+
+    def valid_step(self, model, variables, batch, decode_fn=None,
+                   rng=None) -> list:
+        from situation3d_tpu.models.blip2_t5 import generate
+        clean = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k not in ("question_id", "labels", "label_mask")}
+        tokens = generate(
+            model, variables, clean,
+            use_nucleus_sampling=self.use_nucleus_sampling,
+            num_beams=self.num_beams, max_length=self.max_len,
+            min_length=self.min_len, top_p=self.top_p,
+            repetition_penalty=self.repetition_penalty, rng=rng)
+        tokens = np.asarray(jax.device_get(tokens))
+        decode = decode_fn or (lambda t: " ".join(map(str, t)))
+        qids = np.asarray(batch["question_id"]).reshape(-1)
+        return [{"question_id": str(q), "answer": decode(list(t))}
+                for q, t in zip(qids, tokens)]
+
+    @staticmethod
+    def after_evaluation(results, golds: Dict[str, list]) -> Dict[str, float]:
+        from situation3d_tpu.eval.scorers import exact_match
+        preds = {str(r["question_id"]): r["answer"] for r in results}
+        em = exact_match(preds, {str(k): v for k, v in golds.items()})
+        return {"agg_metrics": em, "EM": em}
+
+
 def setup_task(name: str, cfg: Config, **kwargs):
     return registry.get_task(name)(cfg, **kwargs)

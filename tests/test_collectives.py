@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from situation3d_tpu.config import MeshConfig
 from situation3d_tpu.parallel.collectives import (all_gather, pmean, psum,

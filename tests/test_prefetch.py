@@ -68,7 +68,7 @@ def test_contrastive_losses(rng):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from situation3d_tpu.config import MeshConfig
     from situation3d_tpu.parallel.mesh import make_mesh
     from situation3d_tpu.train.contrastive import itc_loss, itm_loss, lm_loss
@@ -87,7 +87,7 @@ def test_contrastive_losses(rng):
     f = shard_map(
         lambda i, x: jax.lax.pmean(itc_loss(i, x, t, axis="data"), "data"),
         mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     dist = float(jax.jit(f)(img[:, None, :], txt))
     single = float(itc_loss(img[:, None, :], txt, t))
     np.testing.assert_allclose(dist, single, rtol=1e-3, atol=1e-7)
