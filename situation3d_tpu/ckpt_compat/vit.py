@@ -56,6 +56,38 @@ def convert_eva_vit(sd: Dict[str, np.ndarray], depth: int = 39,
     return p
 
 
+def convert_timm_vit(sd: Dict[str, np.ndarray], depth: int = 12,
+                     num_patches: int | None = None) -> Dict[str, Any]:
+    """Plain timm ViT state dict (``lavis/models/vit.py:157-275``
+    VisionTransformer / deit checkpoints) -> EvaViT(full_qkv_bias,
+    final_norm) params: the fused ``attn.qkv.bias`` [3C] splits into
+    q/k/v thirds."""
+    p: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _conv_kernel(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "cls_token": sd["cls_token"],
+        "pos_embed": _maybe_interp(sd["pos_embed"], num_patches),
+        "norm": layernorm(sd, "norm"),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        qb, kb, vb = np.split(sd[f"{b}.attn.qkv.bias"], 3)
+        p[f"block{i}"] = {
+            "norm1": layernorm(sd, f"{b}.norm1"),
+            "norm2": layernorm(sd, f"{b}.norm2"),
+            "attn": {
+                "qkv_kernel": np.transpose(sd[f"{b}.attn.qkv.weight"]),
+                "q_bias": qb, "k_bias": kb, "v_bias": vb,
+                "proj": dense(sd, f"{b}.attn.proj"),
+            },
+            "mlp_fc1": dense(sd, f"{b}.mlp.fc1"),
+            "mlp_fc2": dense(sd, f"{b}.mlp.fc2"),
+        }
+    return p
+
+
 def convert_clip_vit(sd: Dict[str, np.ndarray], depth: int = 21,
                      num_patches: int | None = None) -> Dict[str, Any]:
     """OpenAI CLIP visual state dict (``visual.`` prefix stripped or bare,

@@ -13,6 +13,10 @@ through ``Blip2Base.init_vision_encoder``
 - **clip_L** (``lavis/models/clip_vit.py:168-266``): patch 14, width 1024,
   ``layers - 1 = 21`` residual blocks (clip_vit.py:185), QuickGELU MLP,
   ``ln_pre`` after embedding, no ``ln_final``.
+- **vit_base** (``lavis/models/vit.py:157-275``, the BLIP-1-era plain timm
+  ViT): ``ViTConfig.vit_base()`` — EvaViT with ``full_qkv_bias`` (learned
+  k bias) and ``final_norm``; timm checkpoints import via
+  ``ckpt_compat.vit.convert_timm_vit``.
 
 Differences by design (TPU-first, not translated):
 
@@ -49,6 +53,8 @@ class ViTConfig:
     num_heads: int = 16
     mlp_ratio: float = 4.3637
     qkv_bias: bool = True               # EVA q/v-bias, zero-k quirk
+    full_qkv_bias: bool = False         # plain timm ViT: k bias learned too
+    final_norm: bool = False            # plain timm ViT: trailing LayerNorm
     drop_path_rate: float = 0.0
     layer_norm_eps: float = 1e-6
     use_shared_rel_pos_bias: bool = False
@@ -66,6 +72,18 @@ class ViTConfig:
                          patch_size=14, embed_dim=1408, depth=39,
                          num_heads=16, mlp_ratio=4.3637, qkv_bias=True,
                          drop_path_rate=drop_path_rate, remat=remat)
+
+    @staticmethod
+    def vit_base(img_size: int = 224, patch_size: int = 16,
+                 remat: bool = False) -> "ViTConfig":
+        """Plain timm-style ViT-B (``lavis/models/vit.py:157-275``,
+        VisionTransformerEncoder.from_config defaults: vit_base_patch16,
+        embed 768, depth 12, heads 12, mlp 4.0, full qkv bias, final
+        norm, returns all tokens)."""
+        return ViTConfig(model_name="vit_base", img_size=img_size,
+                         patch_size=patch_size, embed_dim=768, depth=12,
+                         num_heads=12, mlp_ratio=4.0, qkv_bias=True,
+                         full_qkv_bias=True, final_norm=True, remat=remat)
 
     @staticmethod
     def clip_L(img_size: int = 224, remat: bool = False) -> "ViTConfig":
@@ -105,7 +123,12 @@ class EvaAttention(nn.Module):
                                 jnp.float32)
             v_bias = self.param("v_bias", nn.initializers.zeros, (C,),
                                 jnp.float32)
-            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            if cfg.full_qkv_bias:   # plain timm ViT: k bias learned too
+                k_bias = self.param("k_bias", nn.initializers.zeros, (C,),
+                                    jnp.float32)
+            else:                   # EVA quirk: k bias pinned to zero
+                k_bias = jnp.zeros_like(q_bias)
+            bias = jnp.concatenate([q_bias, k_bias, v_bias])
             qkv = qkv + bias.astype(self.dtype)
         q, k, v = jnp.split(qkv.reshape(B, N, 3, h, d)
                             .transpose(2, 0, 3, 1, 4), 3, axis=0)
@@ -206,6 +229,9 @@ class EvaViT(nn.Module):
         for i in range(cfg.depth):
             x = block_cls(cfg, drop_path=dpr[i], dtype=self.dtype,
                           name=f"block{i}")(x, rel, deterministic)
+        if cfg.final_norm:          # plain timm ViT (lavis vit.py:272-274)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                             name="norm")(x)
         return x
 
 
