@@ -127,7 +127,15 @@ def conv_gather_counts(cfg):
     decoder stages are DCE'd under jit for the QA forward)."""
     caps = cfg.sparse.capacities
     planes, init = cfg.sparse.planes, cfg.sparse.init_dim
-    convs = [(caps[0], 125, cfg.sparse.in_channels)]       # conv0 k5
+    if cfg.sparse.conv0_zwin:
+        # map-free z-window conv0: 20 contiguous 256 B window rows per
+        # voxel (bytes-class), no k5 kernel map; the grid scatter is
+        # V*C_in scalar writes (map-rate class, counted in map_rows)
+        convs = [(caps[0], 20, 64)]          # 20 rows x 128 bf16 lanes
+        zwin_scatter_rows = caps[0] * cfg.sparse.in_channels
+    else:
+        convs = [(caps[0], 125, cfg.sparse.in_channels)]   # conv0 k5
+        zwin_scatter_rows = 0
     chans = init
     for lvl in range(1, 5):
         convs.append((caps[lvl], 8, chans))                # strided k2
@@ -141,8 +149,9 @@ def conv_gather_counts(cfg):
     byts = sum(v * k * c * 2 for v, k, c in convs)
     rows = sum(v * k for v, k, _ in convs)
     # kernel-map construction (on-device plan): one int32 gather per map
-    # entry — k5 map at level 0, k3 maps per level, k2 down maps.
-    map_rows = caps[0] * 125
+    # entry — k5 map at level 0 (absent under conv0_zwin), k3 maps per
+    # level, k2 down maps.
+    map_rows = zwin_scatter_rows if cfg.sparse.conv0_zwin else caps[0] * 125
     for lvl in range(1, 5):
         map_rows += caps[lvl] * 27 + caps[lvl] * 8
     return byts, rows, map_rows
@@ -381,6 +390,19 @@ def main() -> None:
             extra["serving_6q_per_scene_samples_per_sec"] = round(
                 qps * B / t_scene, 2)
         section("serving", 120, _serving, extra)
+
+        # ---- B=2 like-for-like (round-1 driver config) -------------------
+        # the r1 driver record (BENCH_r01: 5.424 samples/s) was B=2; keep a
+        # B=2 point in every round so the progression table stays
+        # like-for-like across batch-size changes (VERDICT r2 weak#2)
+        def _b2(extra):
+            if B == 2:
+                extra["headline_b2_samples_per_sec"] = RESULT["value"]
+                return
+            batch2, _, _ = make_scene_batch(cfg, 2, np.random.RandomState(0))
+            dt2 = time_fn(fwd, variables, batch2, key, iters=10)
+            extra["headline_b2_samples_per_sec"] = round(2 / dt2, 3)
+        section("b2", 180, _b2, extra)
 
         # ---- host-plan production path (prefetch overlaps plan build) ----
         def _hostplan(extra):
