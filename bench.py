@@ -76,7 +76,14 @@ def remaining() -> float:
 
 
 def section(name: str, min_budget_s: float, fn, extra) -> None:
-    """Run one extra section under the global budget; re-emit after."""
+    """Run one extra section under the global budget; re-emit after.
+    ``BENCH_ONLY=a,b`` restricts to the named sections (iteration aid —
+    relay compiles are not cached across processes, so re-running the
+    whole file to reach one section costs ~20+ min)."""
+    only = os.environ.get("BENCH_ONLY", "")
+    if only and name not in only.split(","):
+        extra[name] = "skipped_only"
+        return
     if remaining() < min_budget_s:
         extra[name] = "skipped_budget"
         emit()
@@ -312,7 +319,11 @@ def main() -> None:
     def _alarm(signum, frame):
         raise TimeoutError("bench budget exceeded")
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(BUDGET_S + 60))
+    # NOTE: the alarm is armed only AFTER the headline prints. The relay
+    # compile service has been observed to take 4 s to 40+ min for the
+    # SAME program; killing ourselves mid-headline-compile would leave the
+    # driver record empty (the r2 failure mode), and before the headline
+    # exists the caller's own timeout is the only meaningful backstop.
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -342,6 +353,10 @@ def main() -> None:
         RESULT["value"] = round(scenes_per_sec, 3)
         roofline(extra, cfg, scenes_per_sec)  # pinned denominators for now
         emit()
+        # the headline is safe on stdout — from here on, a hung extra
+        # section must not erase it: arm the hard stop with whatever
+        # budget remains (min 60 s so a blown budget still skips cleanly)
+        signal.alarm(int(max(remaining(), 0) + 60))
 
         if fast:
             return
@@ -351,6 +366,13 @@ def main() -> None:
             bench_gather_rates(extra)
             roofline(extra, cfg, scenes_per_sec)  # re-anchor on measured
         section("gather_rates", 60, _rates, extra)
+
+        # ---- Blip2T5 greedy decode (early: the one evidence class no
+        # driver record has ever captured — VERDICT r2 #4; relay compiles
+        # are uncached across processes, so whatever runs first after the
+        # headline is what a budget-bound driver run actually records) ----
+        if os.environ.get("BENCH_BLIP2", "1") == "1":
+            section("blip2_decode", 240, bench_blip2_decode, extra)
 
         # ---- training step ----------------------------------------------
         def _train(extra):
@@ -423,9 +445,8 @@ def main() -> None:
             extra["hostplan_samples_per_sec"] = round(B / dt_hp, 3)
         section("hostplan", 120, _hostplan, extra)
 
-        # ---- Blip2T5 greedy decode + train step --------------------------
+        # ---- Blip2T5 train step ------------------------------------------
         if os.environ.get("BENCH_BLIP2", "1") == "1":
-            section("blip2_decode", 240, bench_blip2_decode, extra)
             section("blip2_train", 240, bench_blip2_train, extra)
 
         # ---- Pallas FPS kernel: hardware check + speedup ------------------

@@ -60,6 +60,16 @@ def make_blip2_train_step(model: Blip2T5, tx: optax.GradientTransformation,
                           trainable=None) -> Callable:
     def train_step(state: Blip2TrainState, batch):
         def loss_fn(p):
+            if trainable is not None:
+                # stop_gradient on frozen leaves: the backward never
+                # computes (or allocates) frozen-T5 weight grads — relying
+                # on the masked optimizer alone still materializes a
+                # ~6 GB zero/real grad tree for flan-t5-xl and OOMs a
+                # 16 GB chip at B=4 (measured); symbolic zeros also skip
+                # the dW matmuls of every frozen layer in the backward
+                p = jax.tree_util.tree_map(
+                    lambda m, x: x if m else jax.lax.stop_gradient(x),
+                    trainable, p)
             return model.apply({"params": p}, batch, train=True)["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

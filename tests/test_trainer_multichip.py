@@ -28,6 +28,13 @@ def tiny_cfg(extra=()):
         "sparse.planes=4,8,12,24,12,12,8,8", "sparse.layers=1,1,1,1,1,1,1,1",
         "sparse.init_dim=4", "sparse.bottleneck_channels=24",
         "sparse.capacities=2048,1024,512,256,128",
+        # coarse voxels + small grid: with conv0_zwin the level-0 feature
+        # grid is extent-shaped ([n_rows, 128] f32); the default 512x512x256
+        # extent is ~1.1 GB per device, which on an 8-device CPU mesh
+        # starves the collective rendezvous into a hard abort. 0.08 m
+        # voxels keep the whole rotated synthetic scene (~7.8 m diagonal)
+        # inside 128x128x64 cells.
+        "data.voxel_size=0.08", "sparse.grid_extent=(128,128,64)",
         "data.voxel_capacity=2048", "data.num_answers=12",
         "data.max_text_len=24",
         "train.batch_size=8", "train.log_every_steps=1",
