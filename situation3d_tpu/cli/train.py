@@ -20,7 +20,10 @@ from situation3d_tpu.utils.misc import set_seed, setup_logger
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="situation3d_tpu trainer")
-    p.add_argument("--task", choices=["sqa3d", "3d_vqa", "stage1"],
+    p.add_argument("--task",
+                   choices=["sqa3d", "3d_vqa", "stage1", "dialogue",
+                            "vqa_reading_comprehension",
+                            "multimodal_classification"],
                    default="sqa3d")
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--options", nargs="*", default=[],
@@ -69,7 +72,9 @@ def main(argv=None) -> None:
                     " ".join(f"{k}={v:.4g}" for k, v in m.items()
                              if isinstance(v, float)))
 
-    if args.task == "sqa3d":
+    if args.task in ("sqa3d", "multimodal_classification"):
+        # multimodal_classification rides the SIG3D pipeline — its task
+        # subclasses SQA3DTask and only changes valid_step/after_evaluation
         import json
 
         from situation3d_tpu.data.sqa3d import batch_iterator
@@ -190,14 +195,29 @@ def main(argv=None) -> None:
             train_batches(ds, bs, seed=cfg.train.seed, epochs=cfg.train.epochs),
             val_iter_fn=lambda: eval_batches(val_ds, bs),
             golds=golds, max_steps=args.max_steps)
-        em, preds = trainer.evaluate(eval_batches(val_ds, bs), golds)
-        logger.info("final val EM=%.4f over %d answers (best ckpt)", em,
-                    len(preds))
-        results_dir = os.path.join(args.output, "results")
-        os.makedirs(results_dir, exist_ok=True)
-        with open(os.path.join(results_dir, "vqa_result.json"), "w") as fh:
-            json.dump([{"question_id": q, "answer": a}
-                       for q, a in preds.items()], fh)
+        variables = {"params": trainer.state.params}
+        if args.task == "dialogue":
+            # loss-based validation (lavis/tasks/dialogue.py:45-64) — needs
+            # label-bearing batches, so iterate the val split train-style
+            losses = [task.valid_step(model, variables, b)
+                      for b in train_batches(val_ds, bs, seed=0, epochs=1)]
+            logger.info("final val: %s", task.after_evaluation(losses))
+        elif args.task == "vqa_reading_comprehension":
+            results = []
+            for b in eval_batches(val_ds, bs):
+                results += task.valid_step(model, variables, b,
+                                           decode_fn=val_ds.text.decode)
+            logger.info("final val: %s",
+                        task.after_evaluation(results, golds))
+        else:
+            em, preds = trainer.evaluate(eval_batches(val_ds, bs), golds)
+            logger.info("final val EM=%.4f over %d answers (best ckpt)", em,
+                        len(preds))
+            results_dir = os.path.join(args.output, "results")
+            os.makedirs(results_dir, exist_ok=True)
+            with open(os.path.join(results_dir, "vqa_result.json"), "w") as fh:
+                json.dump([{"question_id": q, "answer": a}
+                           for q, a in preds.items()], fh)
 
 
 if __name__ == "__main__":

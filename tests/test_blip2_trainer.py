@@ -14,23 +14,28 @@ from situation3d_tpu.models.blip2_t5 import Blip2T5
 from situation3d_tpu.train.blip2_trainer import Blip2Trainer
 
 
+TINY_BLIP2_OPTS = [
+    "blip2.qformer.num_query_tokens=4", "blip2.qformer.hidden_size=32",
+    "blip2.qformer.num_layers=2", "blip2.qformer.num_heads=4",
+    "blip2.qformer.intermediate_size=64",
+    "blip2.qformer.encoder_width=48",
+    "blip2.qformer.scene_token_capacity=32",
+    "blip2.t5.vocab_size=256", "blip2.t5.d_model=32", "blip2.t5.d_kv=8",
+    "blip2.t5.d_ff=64", "blip2.t5.num_layers=2",
+    "blip2.t5.num_decoder_layers=2", "blip2.t5.num_heads=4",
+    "blip2.t5.max_answer_len=8", "blip2.pc_feat_dim=48",
+    "blip2.max_txt_len=16",
+    "mesh.data_parallel=1",  # dp=8 sharding is covered by dryrun/test_collectives
+    "train.batch_size=4", "train.log_every_steps=1", "train.lr=1e-3",
+    "train.lr_schedule=step", "train.lr_decay_steps=1000,",
+    "eval.max_gen_len=4",
+]
+
+
 def tiny_cfg(tmp_path, extra=()):
     return apply_overrides(Config(), [
-        "blip2.qformer.num_query_tokens=4", "blip2.qformer.hidden_size=32",
-        "blip2.qformer.num_layers=2", "blip2.qformer.num_heads=4",
-        "blip2.qformer.intermediate_size=64",
-        "blip2.qformer.encoder_width=48",
-        "blip2.qformer.scene_token_capacity=32",
-        "blip2.t5.vocab_size=256", "blip2.t5.d_model=32", "blip2.t5.d_kv=8",
-        "blip2.t5.d_ff=64", "blip2.t5.num_layers=2",
-        "blip2.t5.num_decoder_layers=2", "blip2.t5.num_heads=4",
-        "blip2.t5.max_answer_len=8", "blip2.pc_feat_dim=48",
-        "blip2.max_txt_len=16",
-        "mesh.data_parallel=1",  # dp=8 sharding is covered by dryrun/test_collectives
-        "train.batch_size=4", "train.log_every_steps=1", "train.lr=1e-3",
-        "train.lr_schedule=step", "train.lr_decay_steps=1000,",
+        *TINY_BLIP2_OPTS,
         f"train.ckpt_dir={tmp_path}/ckpt",
-        "eval.max_gen_len=4",
         *extra,
     ])
 

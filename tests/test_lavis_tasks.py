@@ -240,6 +240,26 @@ def test_vqa_rc_task(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Train-CLI routing for the new tasks
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("task", ["dialogue", "vqa_reading_comprehension"])
+def test_train_cli_new_tasks(tmp_path, task):
+    """--task {dialogue,vqa_reading_comprehension} ride the 3d_vqa training
+    loop with their own final-eval path (loss mean / generation EM)."""
+    from tests.test_blip2_trainer import TINY_BLIP2_OPTS
+    from situation3d_tpu.cli import train as train_cli
+    out = str(tmp_path / "run")
+    train_cli.main([
+        "--task", task, "--synthetic", "--max-steps", "2", "--output", out,
+        "--options", *TINY_BLIP2_OPTS,
+        f"train.ckpt_dir={tmp_path}/ckpt", "train.val_every_steps=1000",
+        f"log.log_dir={tmp_path}/logs",
+    ])
+    assert os.path.exists(os.path.join(out, "config.yaml"))
+
+
+# ---------------------------------------------------------------------------
 # Recipe yamls
 # ---------------------------------------------------------------------------
 
