@@ -79,6 +79,11 @@ class SparseConfig:
     # (79% of per-sample map rows) and its 125 feature gathers entirely.
     # Requires dense_lookup (uses grid_extent).
     conv0_zwin: bool = True
+    # sort-free downsample: grid occupancy + cumsum compaction instead of
+    # one lax.sort per level per sample (kernel_map.downsample_coords_dense;
+    # bit-identical order for in-extent scenes). Requires dense_lookup.
+    # Default off until chip-measured (tunnel down at implementation time).
+    dense_downsample: bool = False
 
 
 @dataclass

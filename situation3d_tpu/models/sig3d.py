@@ -143,7 +143,8 @@ class SIG3D(nn.Module):
             plan = batch.get("plan") or build_unet_plan(
                 x.coords, x.mask, cfg.sparse.capacities,
                 cfg.sparse.dense_lookup, cfg.sparse.grid_extent,
-                need_k5=not (cfg.sparse.conv0_zwin and cfg.sparse.dense_lookup))
+                need_k5=not (cfg.sparse.conv0_zwin and cfg.sparse.dense_lookup),
+                dense_downsample=cfg.sparse.dense_downsample)
             if "overflow" in plan:
                 # capacity/extent overflow counters (visible in train logs;
                 # graceful, *reported* degradation)

@@ -303,6 +303,67 @@ def downsample_coords(
     return uc * new_stride, um, dropped
 
 
+@partial(jax.jit, static_argnames=("stride", "factor", "capacity", "extent"))
+def downsample_coords_dense(
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    stride: int,
+    factor: int,
+    capacity: int,
+    extent: Tuple[int, int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort-free :func:`downsample_coords` via grid occupancy + cumsum
+    compaction.
+
+    The sort path costs one ``lax.sort`` of the full voxel set per level
+    per sample (4 sorts/sample/forward — a large share of the measured
+    ~30 ms/sample on-device plan cost). Here dedup is: scatter occupancy
+    bits into the coarse dense grid, prefix-sum the grid to assign each
+    occupied cell its rank, and scatter coords into their rank slot —
+    all bandwidth-bound passes with no sort. Output order is ascending
+    flat-grid order == ascending packed-key order (both lexicographic in
+    (x, y, z)), so for in-extent scenes the result is **bit-identical**
+    to the sort path (tested). Sole semantic difference: voxels outside
+    ``extent`` are dropped here (counted in ``dropped``) where the sort
+    path keeps them — under ``dense_lookup`` such voxels already receive
+    no neighbors, so nothing downstream changes.
+
+    Returns (out_coords int32 [capacity, 3] raw units, out_mask,
+    dropped) like :func:`downsample_coords`. vmap over batch.
+    """
+    new_stride = stride * factor
+    dx, dy, dz = (e // new_stride for e in extent)
+    total = dx * dy * dz
+    c = coords // new_stride
+    in_ext = (mask & jnp.all(c >= 0, axis=-1)
+              & (c[:, 0] < dx) & (c[:, 1] < dy) & (c[:, 2] < dz))
+    flat = (c[:, 0] * dy + c[:, 1]) * dz + c[:, 2]
+    flat_w = jnp.where(in_ext, flat, total)
+    occ = jnp.zeros((total,), jnp.int32).at[flat_w].max(1, mode="drop")
+    pos = jnp.cumsum(occ)                       # inclusive rank, 1-based
+    n_unique = pos[-1]
+    flat_r = jnp.where(in_ext, flat, 0)
+    rank = pos[flat_r]                          # 1-based rank of the cell
+    slot = rank - 1
+    # capacity overflow mirrors downsample_coords exactly: overflowing
+    # uniques "merge into the last slot" with the LARGEST key winning
+    # (the sort path overwrites slot cap-1 in ascending key order) —
+    # here only the max-rank cell writes it, keeping scatter collisions
+    # deterministic
+    keep = (slot < capacity - 1) | ((n_unique <= capacity)
+                                    & (slot < capacity)) \
+        | (rank == n_unique)
+    write = jnp.where(in_ext & keep, jnp.minimum(slot, capacity - 1),
+                      capacity)
+    out = jnp.zeros((capacity, 3), jnp.int32).at[write].set(
+        c * new_stride, mode="drop")
+    out_mask = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0) \
+        .squeeze(-1) < jnp.minimum(n_unique, capacity)
+    dropped = jnp.maximum(n_unique - capacity, 0) \
+        + jnp.sum((mask & ~in_ext).astype(jnp.int32))
+    return out, out_mask, dropped
+
+
 def gather_neighbors(feats: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
     """Gather neighbor features with a zero row for misses.
 

@@ -49,6 +49,7 @@ def build_unet_plan(
     dense_lookup: bool = True,
     extent: Sequence[int] = (512, 512, 256),
     need_k5: bool = True,
+    dense_downsample: bool = False,
 ) -> Dict[str, Any]:
     """Build all coordinate sets and kernel maps for the UNet, batched.
 
@@ -81,11 +82,21 @@ def build_unet_plan(
     levels = [{"coords": coords, "mask": mask}]
     for i in range(1, len(STRIDES)):
         prev = levels[i - 1]
-        c, m, dropped = jax.vmap(
-            lambda pc, pm: downsample_coords(
-                pc, pm, STRIDES[i - 1], 2, capacities[i]
-            )
-        )(prev["coords"], prev["mask"])
+        if dense_downsample and dense_lookup:
+            # sort-free: grid occupancy + cumsum compaction, bit-identical
+            # order for in-extent scenes (kernel_map.downsample_coords_dense)
+            from situation3d_tpu.sparse.kernel_map import \
+                downsample_coords_dense
+            c, m, dropped = jax.vmap(
+                lambda pc, pm: downsample_coords_dense(
+                    pc, pm, STRIDES[i - 1], 2, capacities[i], tuple(extent))
+            )(prev["coords"], prev["mask"])
+        else:
+            c, m, dropped = jax.vmap(
+                lambda pc, pm: downsample_coords(
+                    pc, pm, STRIDES[i - 1], 2, capacities[i]
+                )
+            )(prev["coords"], prev["mask"])
         overflow["voxels_dropped"] = overflow["voxels_dropped"] + dropped
         levels.append({"coords": c, "mask": m})
 

@@ -77,6 +77,28 @@ def test_downsample_coords_oracle(rng):
     assert (oc[om] % 2 == 0).all()
 
 
+def test_downsample_dense_bit_identical(rng):
+    """The sort-free grid-cumsum downsample must match the sort path
+    EXACTLY (coords, mask, dropped, order) for in-extent scenes — both
+    enumerate unique cells in (x, y, z) lexicographic order."""
+    from situation3d_tpu.sparse.kernel_map import downsample_coords_dense
+    for stride, cap, n in ((1, 64, 40), (2, 32, 80), (4, 16, 50)):
+        coords, mask = make_sparse(rng, n, span=30, cap=max(n, cap) + 8)
+        coords = (coords // stride) * stride          # multiples of stride
+        cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+        a = downsample_coords(cj, mj, stride, 2, cap)
+        b = downsample_coords_dense(cj, mj, stride, 2, cap, (64, 64, 64))
+        for x, y, name in zip(a, b, ("coords", "mask", "dropped")):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"{stride=} {name}")
+    # out-of-extent voxels: dropped (+counted) by the dense path
+    c = jnp.asarray([[2, 2, 2], [70, 0, 0]], jnp.int32)
+    m = jnp.ones((2,), bool)
+    oc, om, dropped = downsample_coords_dense(c, m, 1, 2, 8, (64, 64, 64))
+    assert int(dropped) == 1 and int(om.sum()) == 1
+    assert tuple(np.asarray(oc)[0]) == (2, 2, 2)
+
+
 def dense_conv3d_oracle(grid, kernel, offsets):
     """grid [S,S,S,Cin], kernel [K,Cin,Cout] -> [S,S,S,Cout] with zero pad."""
     S = grid.shape[0]
