@@ -321,3 +321,50 @@ def test_scene_token_cache_matches_full_forward(rng):
     np.testing.assert_allclose(
         np.asarray(out["answer_scores"][1]),
         np.asarray(out["answer_scores"][0]), rtol=1e-6, atol=1e-6)
+
+
+def test_dense_downsample_forward_bit_equal(rng):
+    """sparse.dense_downsample flips the plan builder to the sort-free
+    grid-cumsum downsample; for in-extent scenes the plan (and therefore
+    the whole forward) must be bit-identical."""
+    import jax
+
+    from situation3d_tpu.config import Config, apply_overrides
+    from situation3d_tpu.models.sig3d import SIG3D
+
+    opts = [
+        "lang.num_layers=1", "lang.hidden_size=32", "lang.num_heads=2",
+        "lang.intermediate_size=64", "lang.vocab_size=128",
+        "model.hidden_size=32", "model.mcan_num_heads=2",
+        "model.mcan_num_layers=1", "model.mcan_flat_mlp_size=16",
+        "model.mcan_flat_out_size=24", "model.num_scene_tokens=16",
+        "sparse.planes=(4,4,4,4,4,4,4,4)", "sparse.init_dim=4",
+        "sparse.bottleneck_channels=4", "model.scene_feat_dim=4",
+        "sparse.capacities=(256,128,64,32,16)", "data.num_answers=7",
+        "sparse.grid_extent=(64,64,32)", "data.max_text_len=12"]
+    r = np.random.RandomState(3)
+    B, V, L = 1, 256, 12
+    batch = {
+        "s_ids": r.randint(1, 128, (B, L)).astype(np.int32),
+        "s_mask": np.ones((B, L), np.int32),
+        "q_ids": r.randint(1, 128, (B, L)).astype(np.int32),
+        "q_mask": np.ones((B, L), np.int32),
+        "voxel_coords": r.randint(0, 30, (B, V, 3)).astype(np.int32),
+        "voxel_feats": r.rand(B, V, 3).astype(np.float32),
+        "voxel_mask": np.ones((B, V), bool),
+        "auxiliary_task": np.concatenate(
+            [r.rand(B, 3), np.tile([0, 0, 0, 1.0], (B, 1))], 1
+        ).astype(np.float32),
+    }
+    outs = []
+    for flag in ("false", "true"):
+        cfg = apply_overrides(
+            Config(), opts + [f"sparse.dense_downsample={flag}"])
+        model = SIG3D(cfg, num_answers=7)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            batch, train=False)
+        out = model.apply(variables, batch, train=False,
+                          rngs={"sample": jax.random.PRNGKey(2)})
+        outs.append(np.asarray(out["answer_scores"]))
+    np.testing.assert_array_equal(outs[0], outs[1])
