@@ -240,6 +240,44 @@ def test_vqa_rc_task(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Score CLI (calculate_score_*.py executables)
+# ---------------------------------------------------------------------------
+
+def test_score_cli_variants(tmp_path):
+    from situation3d_tpu.cli import score as score_cli
+    results = [{"question_id": "0", "answer": "brown table</s>"},
+               {"question_id": "1", "answer": "red chair"}]
+    golds = [{"question_id": "0", "answers": ["brown table"],
+              "question": "What is next to the bed?", "type": 1},
+             {"question_id": "1", "answers": ["blue chair"],
+              "question": "What color is the chair?", "type": 2}]
+    rpath, gpath = tmp_path / "res.json", tmp_path / "golds.json"
+    rpath.write_text(json.dumps(results))
+    gpath.write_text(json.dumps(golds))
+    out = score_cli.main(["--variant", "scanqa", "--results", str(rpath),
+                          "--golds", str(gpath),
+                          "--output", str(tmp_path / "m.json")])
+    assert out["All"]["Top1 (EM)"] == pytest.approx(50.0)
+    assert json.load(open(tmp_path / "m.json"))["All"]["count"] == 2
+    out = score_cli.main(["--variant", "3dmvvqa", "--results", str(rpath),
+                          "--golds", str(gpath), "--all-buckets"])
+    assert out["1"]["count"] == 1 and out["2"]["count"] == 1
+    out = score_cli.main(["--variant", "sqa3d", "--results", str(rpath),
+                          "--golds", str(gpath)])
+    assert "All" in out
+    # rank-sharded directory input
+    shard_dir = tmp_path / "result"
+    shard_dir.mkdir()
+    (shard_dir / "test_0_vqa_result_rank0.json").write_text(
+        json.dumps(results[:1]))
+    (shard_dir / "test_0_vqa_result_rank1.json").write_text(
+        json.dumps(results[1:]))
+    out = score_cli.main(["--variant", "3dllm", "--results", str(shard_dir),
+                          "--golds", str(gpath)])
+    assert out["All"]["count"] == 2
+
+
+# ---------------------------------------------------------------------------
 # Train-CLI routing for the new tasks
 # ---------------------------------------------------------------------------
 
