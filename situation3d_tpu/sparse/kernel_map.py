@@ -364,6 +364,72 @@ def downsample_coords_dense(
     return out, out_mask, dropped
 
 
+@partial(jax.jit, static_argnames=("stride", "factor", "capacity", "extent"))
+def downsample_with_down_map(
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    stride: int,
+    factor: int,
+    capacity: int,
+    extent: Tuple[int, int, int],
+):
+    """:func:`downsample_coords_dense` + the strided kernel-2 down map as a
+    byproduct.
+
+    The k2 down map (``[V_out, 8]`` — for each coarse voxel and offset in
+    ``[0, 2)^3`` fine-stride units, the fine voxel index) is normally 8
+    grid gathers per coarse voxel. But every fine voxel determines its
+    entry directly: its coarse cell's output ``slot`` and its parity
+    ``(c // stride) & 1`` per axis give ``map[slot, (ox*2+oy)*2+oz] = v``
+    — and (cell, parity) <-> fine coord is a bijection, so the scatter is
+    collision-free (deterministic). V_in writes replace 8*V_out gathers
+    and the fine-level grid is not touched at all.
+
+    Offset order matches ``kernel_offsets(2)`` (x slowest), so the result
+    is exactly ``lookup_kernel_map_dense(fine_grid, ..., k2, ...)``
+    restricted to in-extent voxels (tested). Returns
+    ``(out_coords, out_mask, dropped, down_map [capacity, 8])``.
+    """
+    new_stride = stride * factor
+    dx, dy, dz = (e // new_stride for e in extent)
+    total = dx * dy * dz
+    v_in = coords.shape[0]
+    c = coords // new_stride
+    in_ext = (mask & jnp.all(c >= 0, axis=-1)
+              & (c[:, 0] < dx) & (c[:, 1] < dy) & (c[:, 2] < dz))
+    flat = (c[:, 0] * dy + c[:, 1]) * dz + c[:, 2]
+    flat_w = jnp.where(in_ext, flat, total)
+    occ = jnp.zeros((total,), jnp.int32).at[flat_w].max(1, mode="drop")
+    pos = jnp.cumsum(occ)
+    n_unique = pos[-1]
+    flat_r = jnp.where(in_ext, flat, 0)
+    rank = pos[flat_r]
+    slot = rank - 1
+    keep = (slot < capacity - 1) | ((n_unique <= capacity)
+                                    & (slot < capacity)) \
+        | (rank == n_unique)
+    write = jnp.where(in_ext & keep, jnp.minimum(slot, capacity - 1),
+                      capacity)
+    out = jnp.zeros((capacity, 3), jnp.int32).at[write].set(
+        c * new_stride, mode="drop")
+    out_mask = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0) \
+        .squeeze(-1) < jnp.minimum(n_unique, capacity)
+    dropped = jnp.maximum(n_unique - capacity, 0) \
+        + jnp.sum((mask & ~in_ext).astype(jnp.int32))
+
+    # down map: parity of the fine coord inside its coarse cell. The same
+    # `keep` rule as the coord scatter, so on capacity overflow row cap-1
+    # holds the WINNING (largest-key) cell's neighbors, matching its coords
+    p = (coords // stride) & (factor - 1)                  # [V, 3] in [0, f)
+    o = (p[:, 0] * factor + p[:, 1]) * factor + p[:, 2]    # kernel_offsets
+    map_slot = jnp.where(in_ext & keep, jnp.minimum(slot, capacity - 1),
+                         capacity)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (v_in, 1), 0).squeeze(-1)
+    down_map = jnp.full((capacity, factor ** 3), jnp.int32(v_in)) \
+        .at[map_slot, o].set(idx, mode="drop")
+    return out, out_mask, dropped, down_map
+
+
 def gather_neighbors(feats: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
     """Gather neighbor features with a zero row for misses.
 

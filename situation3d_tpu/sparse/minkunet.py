@@ -84,13 +84,18 @@ def build_unet_plan(
         prev = levels[i - 1]
         if dense_downsample and dense_lookup:
             # sort-free: grid occupancy + cumsum compaction, bit-identical
-            # order for in-extent scenes (kernel_map.downsample_coords_dense)
+            # order for in-extent scenes; the k2 down map falls out of the
+            # same pass as a collision-free scatter (V_in writes instead of
+            # 8*V_out grid gathers), kernel_map.downsample_with_down_map
             from situation3d_tpu.sparse.kernel_map import \
-                downsample_coords_dense
-            c, m, dropped = jax.vmap(
-                lambda pc, pm: downsample_coords_dense(
+                downsample_with_down_map
+            c, m, dropped, dmap = jax.vmap(
+                lambda pc, pm: downsample_with_down_map(
                     pc, pm, STRIDES[i - 1], 2, capacities[i], tuple(extent))
             )(prev["coords"], prev["mask"])
+            levels.append({"coords": c, "mask": m, "map_down": dmap})
+            overflow["voxels_dropped"] = overflow["voxels_dropped"] + dropped
+            continue
         else:
             c, m, dropped = jax.vmap(
                 lambda pc, pm: downsample_coords(
@@ -159,8 +164,11 @@ def build_unet_plan(
             fine = levels[i - 1]
             sf = STRIDES[i - 1]
             # strided conv: query the fine level from coarse coords, offsets
-            # in units of the (fine) input stride
-            lvl["map_down"] = lookup(i - 1, lvl["coords"], lvl["mask"], k2, sf)
+            # in units of the (fine) input stride (precomputed by the
+            # dense-downsample scatter when that path is on)
+            if "map_down" not in lvl:
+                lvl["map_down"] = lookup(i - 1, lvl["coords"], lvl["mask"],
+                                         k2, sf)
             # transpose conv back up: query the coarse level from fine coords
             # with mirrored offsets; divisibility handles parity
             fine["map_up"] = lookup(i, fine["coords"], fine["mask"], -k2, sf)

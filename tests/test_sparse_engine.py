@@ -99,6 +99,30 @@ def test_downsample_dense_bit_identical(rng):
     assert tuple(np.asarray(oc)[0]) == (2, 2, 2)
 
 
+def test_downsample_down_map_matches_lookup(rng):
+    """The k2 down map scattered out of the dense downsample must equal
+    the grid-lookup path entry for entry."""
+    from situation3d_tpu.sparse.kernel_map import (
+        build_level_grid, downsample_with_down_map, kernel_offsets,
+        lookup_kernel_map_dense)
+    extent = (64, 64, 64)
+    k2 = jnp.asarray(kernel_offsets(2))
+    for stride, cap, n in ((1, 64, 40), (2, 48, 90), (4, 16, 50)):
+        coords, mask = make_sparse(rng, n, span=30, cap=max(n, cap) + 8)
+        coords = (coords // stride) * stride
+        cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+        oc, om, dropped, dmap = downsample_with_down_map(
+            cj, mj, stride, 2, cap, extent)
+        a = downsample_coords(cj, mj, stride, 2, cap)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(oc))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(om))
+        grid, _ = build_level_grid(cj, mj, stride, extent)
+        want = lookup_kernel_map_dense(
+            grid, cj.shape[0], oc, om, k2, stride, stride, extent)
+        np.testing.assert_array_equal(np.asarray(dmap), np.asarray(want),
+                                      err_msg=f"{stride=}")
+
+
 def dense_conv3d_oracle(grid, kernel, offsets):
     """grid [S,S,S,Cin], kernel [K,Cin,Cout] -> [S,S,S,Cout] with zero pad."""
     S = grid.shape[0]
