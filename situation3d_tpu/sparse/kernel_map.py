@@ -427,7 +427,17 @@ def downsample_with_down_map(
     idx = jax.lax.broadcasted_iota(jnp.int32, (v_in, 1), 0).squeeze(-1)
     down_map = jnp.full((capacity, factor ** 3), jnp.int32(v_in)) \
         .at[map_slot, o].set(idx, mode="drop")
-    return out, out_mask, dropped, down_map
+
+    # up map (transpose conv, mirrored offsets): for a fine voxel only the
+    # query at its own parity offset is divisible by the output stride, so
+    # the whole [V_in, 8] map is one scatter of the coarse slot into that
+    # column — no coarse-grid lookups at all
+    ok_up = in_ext & keep
+    up_map = jnp.full((v_in, factor ** 3), jnp.int32(capacity)) \
+        .at[jnp.where(ok_up, idx, v_in), o].set(
+            jnp.where(ok_up, jnp.minimum(slot, capacity - 1), capacity),
+            mode="drop")
+    return out, out_mask, dropped, down_map, up_map
 
 
 def gather_neighbors(feats: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:

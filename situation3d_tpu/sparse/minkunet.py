@@ -89,11 +89,12 @@ def build_unet_plan(
             # 8*V_out grid gathers), kernel_map.downsample_with_down_map
             from situation3d_tpu.sparse.kernel_map import \
                 downsample_with_down_map
-            c, m, dropped, dmap = jax.vmap(
+            c, m, dropped, dmap, umap = jax.vmap(
                 lambda pc, pm: downsample_with_down_map(
                     pc, pm, STRIDES[i - 1], 2, capacities[i], tuple(extent))
             )(prev["coords"], prev["mask"])
             levels.append({"coords": c, "mask": m, "map_down": dmap})
+            prev["map_up"] = umap
             overflow["voxels_dropped"] = overflow["voxels_dropped"] + dropped
             continue
         else:
@@ -170,8 +171,11 @@ def build_unet_plan(
                 lvl["map_down"] = lookup(i - 1, lvl["coords"], lvl["mask"],
                                          k2, sf)
             # transpose conv back up: query the coarse level from fine coords
-            # with mirrored offsets; divisibility handles parity
-            fine["map_up"] = lookup(i, fine["coords"], fine["mask"], -k2, sf)
+            # with mirrored offsets; divisibility handles parity (also
+            # precomputed by the dense-downsample scatter)
+            if "map_up" not in fine:
+                fine["map_up"] = lookup(i, fine["coords"], fine["mask"],
+                                        -k2, sf)
     return {"levels": levels, "overflow": overflow}
 
 

@@ -356,10 +356,13 @@ def test_dense_downsample_forward_bit_equal(rng):
             [r.rand(B, 3), np.tile([0, 0, 0, 1.0], (B, 1))], 1
         ).astype(np.float32),
     }
-    outs = []
+    outs, segs = [], []
     for flag in ("false", "true"):
+        # final_result=true runs the decoder too, exercising the scattered
+        # up maps through the transpose convs
         cfg = apply_overrides(
-            Config(), opts + [f"sparse.dense_downsample={flag}"])
+            Config(), opts + [f"sparse.dense_downsample={flag}",
+                              "sparse.final_result=true"])
         model = SIG3D(cfg, num_answers=7)
         variables = model.init(
             {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
@@ -367,4 +370,6 @@ def test_dense_downsample_forward_bit_equal(rng):
         out = model.apply(variables, batch, train=False,
                           rngs={"sample": jax.random.PRNGKey(2)})
         outs.append(np.asarray(out["answer_scores"]))
+        segs.append(np.asarray(out["openscene_out"]))
     np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(segs[0], segs[1])

@@ -99,9 +99,9 @@ def test_downsample_dense_bit_identical(rng):
     assert tuple(np.asarray(oc)[0]) == (2, 2, 2)
 
 
-def test_downsample_down_map_matches_lookup(rng):
-    """The k2 down map scattered out of the dense downsample must equal
-    the grid-lookup path entry for entry."""
+def test_downsample_down_up_maps_match_lookup(rng):
+    """The k2 down AND mirrored up maps scattered out of the dense
+    downsample must equal the grid-lookup path entry for entry."""
     from situation3d_tpu.sparse.kernel_map import (
         build_level_grid, downsample_with_down_map, kernel_offsets,
         lookup_kernel_map_dense)
@@ -111,7 +111,7 @@ def test_downsample_down_map_matches_lookup(rng):
         coords, mask = make_sparse(rng, n, span=30, cap=max(n, cap) + 8)
         coords = (coords // stride) * stride
         cj, mj = jnp.asarray(coords), jnp.asarray(mask)
-        oc, om, dropped, dmap = downsample_with_down_map(
+        oc, om, dropped, dmap, umap = downsample_with_down_map(
             cj, mj, stride, 2, cap, extent)
         a = downsample_coords(cj, mj, stride, 2, cap)
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(oc))
@@ -120,7 +120,12 @@ def test_downsample_down_map_matches_lookup(rng):
         want = lookup_kernel_map_dense(
             grid, cj.shape[0], oc, om, k2, stride, stride, extent)
         np.testing.assert_array_equal(np.asarray(dmap), np.asarray(want),
-                                      err_msg=f"{stride=}")
+                                      err_msg=f"{stride=} down")
+        cgrid, _ = build_level_grid(oc, om, stride * 2, extent)
+        want_up = lookup_kernel_map_dense(
+            cgrid, cap, cj, mj, -k2, stride * 2, stride, extent)
+        np.testing.assert_array_equal(np.asarray(umap), np.asarray(want_up),
+                                      err_msg=f"{stride=} up")
 
 
 def dense_conv3d_oracle(grid, kernel, offsets):
