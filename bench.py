@@ -332,7 +332,12 @@ def main() -> None:
 
     B = int(os.environ.get("BENCH_B", "8"))
     fast = os.environ.get("BENCH_FAST", "0") == "1"
-    cfg = apply_overrides(Config(), ["data.num_answers=706"])
+    # BENCH_OPTS: comma-separated dot-key overrides for A/B experiments
+    # (e.g. BENCH_OPTS=sparse.dense_downsample=true); recorded in extras
+    opts = [o for o in os.environ.get("BENCH_OPTS", "").split(",") if o]
+    cfg = apply_overrides(Config(), ["data.num_answers=706", *opts])
+    if opts:
+        RESULT["extra"]["bench_opts"] = opts
     rng = np.random.RandomState(0)
     batch, coords_np, mask_np = make_scene_batch(cfg, B, rng)
     extra = RESULT["extra"]
