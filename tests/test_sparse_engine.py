@@ -99,6 +99,26 @@ def test_downsample_dense_bit_identical(rng):
     assert tuple(np.asarray(oc)[0]) == (2, 2, 2)
 
 
+def test_downsample_dense_degenerate():
+    """All-invalid and single-voxel inputs: no NaN/garbage, miss maps."""
+    from situation3d_tpu.sparse.kernel_map import downsample_with_down_map
+    c = jnp.zeros((8, 3), jnp.int32)
+    m = jnp.zeros((8,), bool)
+    oc, om, dropped, dmap, umap = downsample_with_down_map(
+        c, m, 1, 2, 4, (16, 16, 16))
+    assert int(om.sum()) == 0 and int(dropped) == 0
+    assert (np.asarray(dmap) == 8).all()      # all-miss (sentinel V_in)
+    assert (np.asarray(umap) == 4).all()      # all-miss (sentinel V_out)
+    m1 = m.at[3].set(True)
+    c1 = c.at[3].set(jnp.asarray([5, 6, 7]))
+    oc, om, dropped, dmap, umap = downsample_with_down_map(
+        c1, m1, 1, 2, 4, (16, 16, 16))
+    assert int(om.sum()) == 1 and tuple(np.asarray(oc)[0]) == (4, 6, 6)
+    o = (5 & 1) * 4 + (6 & 1) * 2 + (7 & 1)   # parity offset column
+    assert np.asarray(dmap)[0, o] == 3
+    assert np.asarray(umap)[3, o] == 0
+
+
 def test_downsample_down_up_maps_match_lookup(rng):
     """The k2 down AND mirrored up maps scattered out of the dense
     downsample must equal the grid-lookup path entry for entry."""
