@@ -157,10 +157,13 @@ def conv_gather_counts(cfg):
     rows = sum(v * k for v, k, _ in convs)
     # kernel-map construction (on-device plan): one int32 gather per map
     # entry — k5 map at level 0 (absent under conv0_zwin), k3 maps per
-    # level, k2 down maps.
+    # level, k2 down maps (derived for free from the downsample scatter
+    # when dense_downsample is on).
     map_rows = zwin_scatter_rows if cfg.sparse.conv0_zwin else caps[0] * 125
     for lvl in range(1, 5):
-        map_rows += caps[lvl] * 27 + caps[lvl] * 8
+        map_rows += caps[lvl] * 27
+        if not cfg.sparse.dense_downsample:
+            map_rows += caps[lvl] * 8
     return byts, rows, map_rows
 
 
@@ -332,9 +335,12 @@ def main() -> None:
 
     B = int(os.environ.get("BENCH_B", "8"))
     fast = os.environ.get("BENCH_FAST", "0") == "1"
-    # BENCH_OPTS: comma-separated dot-key overrides for A/B experiments
-    # (e.g. BENCH_OPTS=sparse.dense_downsample=true); recorded in extras
-    opts = [o for o in os.environ.get("BENCH_OPTS", "").split(",") if o]
+    # BENCH_OPTS: dot-key overrides for A/B experiments, comma-separated —
+    # or semicolon-separated when a value itself contains commas
+    # (e.g. BENCH_OPTS="sparse.grid_extent=[320,320,128];sparse.pallas_map=true")
+    raw_opts = os.environ.get("BENCH_OPTS", "")
+    sep = ";" if ";" in raw_opts else ","
+    opts = [o for o in raw_opts.split(sep) if o]
     cfg = apply_overrides(Config(), ["data.num_answers=706", *opts])
     if opts:
         RESULT["extra"]["bench_opts"] = opts
@@ -378,6 +384,12 @@ def main() -> None:
         # headline is what a budget-bound driver run actually records) ----
         if os.environ.get("BENCH_BLIP2", "1") == "1":
             section("blip2_decode", 240, bench_blip2_decode, extra)
+            # the Blip2T5 train step comes right after decode: these two
+            # are the evidence class no driver record has ever captured;
+            # the SIG3D train/serving/hostplan sections below each cost
+            # 300-1200 s of relay compile on a cold cache and would
+            # starve them under the budget
+            section("blip2_train", 300, bench_blip2_train, extra)
 
         # ---- training step ----------------------------------------------
         def _train(extra):
@@ -394,7 +406,10 @@ def main() -> None:
 
             dt_tr = time_fn(run_step, state, batch, iters=5)
             extra["train_samples_per_sec"] = round(B / dt_tr, 3)
-        section("train", 180, _train, extra)
+        # min budgets from here on are the OBSERVED cold-compile section
+        # costs through the relay (CLAUDE.md): starting a section the
+        # budget can't afford would hang the whole record
+        section("train", 900, _train, extra)
 
         # ---- multi-question serving (scene-encoding reuse) ---------------
         # SQA3D averages ~6 questions/scene; the reference eval recomputes
@@ -416,7 +431,7 @@ def main() -> None:
             t_scene = dt + (qps - 1) * dt_q   # 1 full pass + 5 cached
             extra["serving_6q_per_scene_samples_per_sec"] = round(
                 qps * B / t_scene, 2)
-        section("serving", 120, _serving, extra)
+        section("serving", 300, _serving, extra)
 
         # ---- B=2 like-for-like (round-1 driver config) -------------------
         # the r1 driver record (BENCH_r01: 5.424 samples/s) was B=2; keep a
@@ -429,7 +444,7 @@ def main() -> None:
             batch2, _, _ = make_scene_batch(cfg, 2, np.random.RandomState(0))
             dt2 = time_fn(fwd, variables, batch2, key, iters=10)
             extra["headline_b2_samples_per_sec"] = round(2 / dt2, 3)
-        section("b2", 180, _b2, extra)
+        section("b2", 250, _b2, extra)
 
         # ---- host-plan production path (prefetch overlaps plan build) ----
         def _hostplan(extra):
@@ -448,11 +463,7 @@ def main() -> None:
                 rngs={"sample": k})["answer_scores"])
             dt_hp = time_fn(fwd_hp, variables, batch, plan, key, iters=10)
             extra["hostplan_samples_per_sec"] = round(B / dt_hp, 3)
-        section("hostplan", 120, _hostplan, extra)
-
-        # ---- Blip2T5 train step ------------------------------------------
-        if os.environ.get("BENCH_BLIP2", "1") == "1":
-            section("blip2_train", 240, bench_blip2_train, extra)
+        section("hostplan", 450, _hostplan, extra)
 
         # ---- Pallas FPS kernel: hardware check + speedup ------------------
         # (VERDICT r1 weak#7: interpret-mode tests alone don't prove the

@@ -74,6 +74,18 @@ class SparseConfig:
     # fits and rows span one lane tile (ops/pallas/gather.py; measured
     # 1.5-1.7x on the C=64/128 levels) instead of XLA's gather engine.
     pallas_gather: bool = True
+    # fuse gather + mask + per-offset matmul into ONE Pallas kernel with
+    # the feature table VMEM-resident (ops/pallas/fused_conv.py): the
+    # K*V*C gathered-window intermediate never touches HBM, and packed
+    # 128-lane rows (P = 128/C_in voxels/row) bring even the level-1
+    # C_in=32 tables under the VMEM budget (the plain pallas_gather can't
+    # hold them). True = auto (TPU only, falls back to pallas_gather /
+    # XLA where the table doesn't fit); "force" = interpret mode on CPU
+    # (tests). Takes precedence over pallas_gather where it applies.
+    # Chip-measured (v5e B=8): headline 11.63 -> 11.83 samples/s
+    # end-to-end; per-conv 1.1-1.5x on every UNet shape except the
+    # level-1 k3 class (routed back to XLA by fused_conv_wins).
+    fused_conv: Any = True
     # conv0 (k5, stride 1) as a map-free z-window dense-feature-grid conv
     # (sparse/conv.py sparse_conv0_zwin): removes the level-0 k5 kernel map
     # (79% of per-sample map rows) and its 125 feature gathers entirely.
@@ -82,8 +94,17 @@ class SparseConfig:
     # sort-free downsample: grid occupancy + cumsum compaction instead of
     # one lax.sort per level per sample (kernel_map.downsample_coords_dense;
     # bit-identical order for in-extent scenes). Requires dense_lookup.
-    # Default off until chip-measured (tunnel down at implementation time).
-    dense_downsample: bool = False
+    # Chip-measured (v5e, B=8): headline 10.43 -> 11.63 samples/s (+11.5%).
+    dense_downsample: bool = True
+    # k3 kernel-map builds as a Pallas kernel on a VMEM-resident z-packed
+    # level grid (ops/pallas/map_lookup.py): 27 elementwise XLA grid
+    # gathers (~65 M single-int32 rows/s, the dominant residual plan cost)
+    # become 9 dynamic-sublane row loads + 3 lane-select reduces per
+    # voxel. Applies per level when the dense grid fits the 10 MB VMEM
+    # budget: at the default grid_extent that is levels 2-4; level 1 (the
+    # largest map) additionally needs grid_extent <= (320, 320, 128).
+    # True = auto (TPU only); "force" = interpret mode on CPU (tests).
+    pallas_map: Any = False
 
 
 @dataclass

@@ -144,7 +144,8 @@ class SIG3D(nn.Module):
                 x.coords, x.mask, cfg.sparse.capacities,
                 cfg.sparse.dense_lookup, cfg.sparse.grid_extent,
                 need_k5=not (cfg.sparse.conv0_zwin and cfg.sparse.dense_lookup),
-                dense_downsample=cfg.sparse.dense_downsample)
+                dense_downsample=cfg.sparse.dense_downsample,
+                pallas_map=cfg.sparse.pallas_map)
             if "overflow" in plan:
                 # capacity/extent overflow counters (visible in train logs;
                 # graceful, *reported* degradation)

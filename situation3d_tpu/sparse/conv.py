@@ -54,6 +54,25 @@ def sparse_conv_apply(
         # op is gather-bound (all our conv shapes); the MXU under-utilization
         # at small C_in is irrelevant there
         offset_chunk = 1
+
+    # "fused"/"fused_force": gather + mask + matmul as ONE Pallas kernel
+    # with the (packed) table VMEM-resident — the K*V*C gathered windows
+    # never touch HBM (ops/pallas/fused_conv.py). Auto mode runs on TPU
+    # only; "fused_force" uses interpret mode on CPU (tests).
+    if isinstance(pallas_gather, str) and pallas_gather.startswith("fused"):
+        on_cpu = jax.devices()[0].platform == "cpu"
+        force = pallas_gather == "fused_force"
+        if force or not on_cpu:
+            from situation3d_tpu.ops.pallas.fused_conv import (
+                fused_conv_fits, fused_conv_wins, fused_sparse_conv)
+            if fused_conv_fits(V_in, C_in, kernel.shape[-1]) and (
+                    force or fused_conv_wins(V_in, C_in, V_out, K)):
+                out = fused_sparse_conv(feats, nbr_idx, kernel, 256,
+                                        on_cpu)
+                return out.astype(feats.dtype)
+        # table doesn't fit (or CPU auto): plain pallas-gather auto path
+        pallas_gather = True
+
     padded = jnp.concatenate([feats, jnp.zeros((B, 1, C_in), feats.dtype)], axis=1)
 
     # pallas_gather: False | True (auto: skipped on the CPU backend, where

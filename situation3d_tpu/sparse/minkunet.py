@@ -50,6 +50,7 @@ def build_unet_plan(
     extent: Sequence[int] = (512, 512, 256),
     need_k5: bool = True,
     dense_downsample: bool = False,
+    pallas_map: Any = False,
 ) -> Dict[str, Any]:
     """Build all coordinate sets and kernel maps for the UNet, batched.
 
@@ -141,6 +142,26 @@ def build_unet_plan(
                 lambda g, oc, om: lookup_kernel_map_dense(
                     g, v_in, oc, om, offs, s, offset_stride, extent)
             )(grids[level_i], out_coords, out_mask)
+
+        # same-stride k3 maps optionally route through the Pallas
+        # VMEM-grid kernel (ops/pallas/map_lookup.py) per level when the
+        # z-packed grid fits the VMEM budget; bit-equal to the XLA lookup
+        on_cpu = jax.devices()[0].platform == "cpu"
+        pm_on = bool(pallas_map) and (pallas_map == "force" or not on_cpu)
+
+        def lookup_k3(level_i, out_coords, out_mask):
+            s = STRIDES[level_i]
+            if pm_on:
+                from situation3d_tpu.ops.pallas.map_lookup import (
+                    k3_map_lookup_pallas, map_lookup_fits)
+                cells = tuple(e // s for e in extent)
+                if map_lookup_fits(cells[0] * cells[1] * cells[2],
+                                   cells[2]):
+                    v_in = levels[level_i]["coords"].shape[1]
+                    return k3_map_lookup_pallas(
+                        grids[level_i], out_coords // s, out_mask, cells,
+                        v_in, interpret=on_cpu)
+            return lookup(level_i, out_coords, out_mask, k3, s)
     else:
         def lookup(level_i, out_coords, out_mask, offsets, offset_stride):
             s = STRIDES[level_i]
@@ -151,6 +172,10 @@ def build_unet_plan(
                     ic, im, oc, om, offs, s, offset_stride)
             )(lvl["coords"], lvl["mask"], out_coords, out_mask)
 
+        def lookup_k3(level_i, out_coords, out_mask):
+            return lookup(level_i, out_coords, out_mask, k3,
+                          STRIDES[level_i])
+
     for i, lvl in enumerate(levels):
         s = STRIDES[i]
         if i == 0:
@@ -158,9 +183,9 @@ def build_unet_plan(
                 lvl["map_k5"] = lookup(0, lvl["coords"], lvl["mask"], k5, s)
                 lvl["map_k3"] = lvl["map_k5"][:, :, k3_in_k5]
             else:
-                lvl["map_k3"] = lookup(0, lvl["coords"], lvl["mask"], k3, s)
+                lvl["map_k3"] = lookup_k3(0, lvl["coords"], lvl["mask"])
         else:
-            lvl["map_k3"] = lookup(i, lvl["coords"], lvl["mask"], k3, s)
+            lvl["map_k3"] = lookup_k3(i, lvl["coords"], lvl["mask"])
         if i > 0:
             fine = levels[i - 1]
             sf = STRIDES[i - 1]
@@ -249,10 +274,15 @@ class MinkUNet(nn.Module):
         cfg = self.cfg
         L = plan["levels"]
         dt = self.dtype
+        # fused_conv supersedes the plain pallas gather where it applies
+        # (sparse_conv_apply falls back per-conv when the table won't fit)
+        pg = cfg.pallas_gather
+        if cfg.fused_conv:
+            pg = "fused_force" if cfg.fused_conv == "force" else "fused"
 
         def conv(name, out_ch, kvol, src, nbr, lvl, stride):
             return SparseConv(out_ch, kvol, dtype=dt, name=name,
-                              pallas_gather=cfg.pallas_gather)(
+                              pallas_gather=pg)(
                 src, nbr, lvl["coords"], lvl["mask"], stride
             )
 
@@ -283,46 +313,46 @@ class MinkUNet(nn.Module):
 
         h = conv("conv1p1s2", cfg.init_dim, 8, h, L[1]["map_down"], L[1], 2)
         h = sparse_relu(bn("bn1", h))
-        h = ResLayer(cfg.planes[0], cfg.layers[0], dt, dense_ext(2), cfg.pallas_gather, name="block1")(h, L[1]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[0], cfg.layers[0], dt, dense_ext(2), pg, name="block1")(h, L[1]["map_k3"], train, momentum)
         out_b1p2 = h
 
         h = conv("conv2p2s2", h.num_channels, 8, h, L[2]["map_down"], L[2], 4)
         h = sparse_relu(bn("bn2", h))
-        h = ResLayer(cfg.planes[1], cfg.layers[1], dt, dense_ext(4), cfg.pallas_gather, name="block2")(h, L[2]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[1], cfg.layers[1], dt, dense_ext(4), pg, name="block2")(h, L[2]["map_k3"], train, momentum)
         out_b2p4 = h
 
         h = conv("conv3p4s2", h.num_channels, 8, h, L[3]["map_down"], L[3], 8)
         h = sparse_relu(bn("bn3", h))
-        h = ResLayer(cfg.planes[2], cfg.layers[2], dt, dense_ext(8), cfg.pallas_gather, name="block3")(h, L[3]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[2], cfg.layers[2], dt, dense_ext(8), pg, name="block3")(h, L[3]["map_k3"], train, momentum)
         out_b3p8 = h
 
         h = conv("conv4p8s2", h.num_channels, 8, h, L[4]["map_down"], L[4], 16)
         h = sparse_relu(bn("bn4", h))
-        h = ResLayer(cfg.planes[3], cfg.layers[3], dt, dense_ext(16), cfg.pallas_gather, name="block4")(h, L[4]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[3], cfg.layers[3], dt, dense_ext(16), pg, name="block4")(h, L[4]["map_k3"], train, momentum)
         out["feat_bottleneck"] = h  # stride 16, 256 ch (sqa_module.py:292 input)
 
         h = conv("convtr4p16s2", cfg.planes[4], 8, h, L[3]["map_up"], L[3], 8)
         h = sparse_relu(bn("bntr4", h))
         h = h.cat(out_b3p8)
-        h = ResLayer(cfg.planes[4], cfg.layers[4], dt, dense_ext(8), cfg.pallas_gather, name="block5")(h, L[3]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[4], cfg.layers[4], dt, dense_ext(8), pg, name="block5")(h, L[3]["map_k3"], train, momentum)
         out["feat_layer5"] = h
 
         h = conv("convtr5p8s2", cfg.planes[5], 8, h, L[2]["map_up"], L[2], 4)
         h = sparse_relu(bn("bntr5", h))
         h = h.cat(out_b2p4)
-        h = ResLayer(cfg.planes[5], cfg.layers[5], dt, dense_ext(4), cfg.pallas_gather, name="block6")(h, L[2]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[5], cfg.layers[5], dt, dense_ext(4), pg, name="block6")(h, L[2]["map_k3"], train, momentum)
         out["feat_layer6"] = h
 
         if self.final_result:
             h = conv("convtr6p4s2", cfg.planes[6], 8, h, L[1]["map_up"], L[1], 2)
             h = sparse_relu(bn("bntr6", h))
             h = h.cat(out_b1p2)
-            h = ResLayer(cfg.planes[6], cfg.layers[6], dt, dense_ext(2), cfg.pallas_gather, name="block7")(h, L[1]["map_k3"], train, momentum)
+            h = ResLayer(cfg.planes[6], cfg.layers[6], dt, dense_ext(2), pg, name="block7")(h, L[1]["map_k3"], train, momentum)
 
             h = conv("convtr7p2s2", cfg.planes[7], 8, h, L[0]["map_up"], L[0], 1)
             h = sparse_relu(bn("bntr7", h))
             h = h.cat(out_p1)
-            h = ResLayer(cfg.planes[7], cfg.layers[7], dt, dense_ext(1), cfg.pallas_gather, name="block8")(h, L[0]["map_k3"], train, momentum)
+            h = ResLayer(cfg.planes[7], cfg.layers[7], dt, dense_ext(1), pg, name="block8")(h, L[0]["map_k3"], train, momentum)
             out["openscene_out"] = SparseConv1x1(
                 cfg.out_channels, use_bias=True, dtype=dt, name="final"
             )(h)

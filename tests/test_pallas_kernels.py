@@ -84,3 +84,121 @@ def test_vmem_gather_grad_matches_xla(rng):
     gx = jax.grad(loss_x)(table)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                rtol=1e-5, atol=1e-5)
+
+
+def _xla_conv_ref(feats, idx, kernel):
+    """Reference: per-offset gather-matmul with miss -> zero (both the
+    engine's miss == V_in and -1 conventions)."""
+    B, V_in, C_in = feats.shape
+    K = kernel.shape[0]
+    valid = (idx >= 0) & (idx < V_in)
+    safe = np.where(valid, idx, 0)
+    out = np.zeros((B, idx.shape[1], kernel.shape[-1]), np.float32)
+    for b in range(B):
+        for k in range(K):
+            g = feats[b, safe[b, :, k]] * valid[b, :, k, None]
+            out[b] += g.astype(np.float32) @ kernel[k].astype(np.float32)
+    return out
+
+
+def test_fused_conv_matches_reference(rng):
+    """fused_sparse_conv == gather-matmul for every packing factor
+    (P=4/2/1 and the 2-lane-tile C=256 row), miss conventions, and
+    non-block-multiple V_out / non-P-multiple V_in."""
+    from situation3d_tpu.ops.pallas.fused_conv import fused_sparse_conv
+    for C_in, C_out in ((32, 48), (64, 32), (128, 64), (256, 16)):
+        B, V_in, V_out, K = 2, 197, 300, 8
+        feats = rng.randn(B, V_in, C_in).astype(np.float32)
+        idx = rng.randint(-1, V_in + 1, (B, V_out, K)).astype(np.int32)
+        kernel = (rng.randn(K, C_in, C_out) * 0.1).astype(np.float32)
+        got = fused_sparse_conv(jnp.asarray(feats), jnp.asarray(idx),
+                                jnp.asarray(kernel), 256, True)
+        want = _xla_conv_ref(feats, idx, kernel)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fused_conv_via_sparse_conv_apply(rng):
+    """pallas_gather='fused_force' routes through the fused kernel and
+    matches the default XLA path."""
+    from situation3d_tpu.sparse.conv import sparse_conv_apply
+    B, V_in, V_out, C_in, C_out, K = 2, 160, 90, 32, 24, 27
+    feats = jnp.asarray(rng.randn(B, V_in, C_in).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, V_in + 1, (B, V_out, K)).astype(np.int32))
+    kernel = jnp.asarray((rng.randn(K, C_in, C_out) * 0.1).astype(np.float32))
+    want = sparse_conv_apply(feats, idx, kernel)
+    got = sparse_conv_apply(feats, idx, kernel, pallas_gather="fused_force")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_conv_grad_matches_xla(rng):
+    """custom_vjp backward (per-offset deterministic scatter-add) == XLA
+    autodiff of the unfused formulation, for d/dfeats AND d/dkernel."""
+    from situation3d_tpu.ops.pallas.fused_conv import fused_sparse_conv
+    from situation3d_tpu.sparse.conv import sparse_conv_apply
+    B, V_in, V_out, C_in, C_out, K = 2, 96, 64, 64, 16, 8
+    feats = jnp.asarray(rng.randn(B, V_in, C_in).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, V_in + 1, (B, V_out, K)).astype(np.int32))
+    kernel = jnp.asarray((rng.randn(K, C_in, C_out) * 0.1).astype(np.float32))
+    ct = jnp.asarray(rng.randn(B, V_out, C_out).astype(np.float32))
+
+    def loss_f(f, w):
+        return jnp.sum(fused_sparse_conv(f, idx, w, 256, True) * ct)
+
+    def loss_x(f, w):
+        return jnp.sum(sparse_conv_apply(f, idx, w).astype(jnp.float32) * ct)
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(feats, kernel)
+    gx = jax.grad(loss_x, argnums=(0, 1))(feats, kernel)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gx[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gx[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_k3_map_lookup_matches_dense(rng):
+    """Pallas VMEM-grid k3 map build == lookup_kernel_map_dense bit-exact
+    for every z-packing factor (128/Z = 1/2/4/8), strides, boundary
+    voxels, and masked rows."""
+    from situation3d_tpu.ops.pallas.map_lookup import k3_map_lookup_pallas
+    from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                   kernel_offsets,
+                                                   lookup_kernel_map_dense)
+    k3 = jnp.asarray(kernel_offsets(3))
+    for extent, stride in (((64, 64, 128), 1), ((64, 64, 64), 2),
+                           ((32, 48, 32), 1), ((16, 16, 16), 1)):
+        cells = tuple(e // stride for e in extent)
+        V = 300
+        c = np.unique(
+            np.stack([np.random.RandomState(7).randint(0, cells[i], 400)
+                      for i in range(3)], 1), axis=0)[:260]
+        # force boundary coverage: corners of the cell extent
+        c[0] = (0, 0, 0)
+        c[1] = (cells[0] - 1, cells[1] - 1, cells[2] - 1)
+        c = np.unique(c, axis=0)
+        coords = np.zeros((V, 3), np.int32)
+        mask = np.zeros((V,), bool)
+        coords[: len(c)], mask[: len(c)] = c * stride, True
+        cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+        grid, _ = build_level_grid(cj, mj, stride, extent)
+        want = lookup_kernel_map_dense(grid, V, cj, mj, k3, stride, stride,
+                                       extent)
+        got = k3_map_lookup_pallas(grid[None], (cj // stride)[None],
+                                   mj[None], cells, V, interpret=True)[0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"{extent} s{stride}")
+
+
+def test_fused_conv_fits_budget():
+    """The packing brings every UNet level table under budget — including
+    the level-1 C=32 one the plain pallas gather can't hold — while the
+    12.6 MB unpackable shapes still refuse."""
+    from situation3d_tpu.ops.pallas.fused_conv import fused_conv_fits
+    assert fused_conv_fits(24576, 32, 32)     # level 1 k3 (plain gather: no)
+    assert fused_conv_fits(49152, 32, 32)     # level-0 table, k2 down conv
+    assert fused_conv_fits(12288, 64, 64)     # level 2
+    assert fused_conv_fits(6144, 128, 128)    # level 3
+    assert fused_conv_fits(3072, 256, 256)    # level 4 (2 lane tiles/row)
+    assert not fused_conv_fits(49152, 64, 64)   # 12.6 MB table
+    assert not fused_conv_fits(24576, 96, 32)   # 96 does not divide 128

@@ -347,6 +347,30 @@ def test_dense_lookup_matches_sort_path(rng):
                 np.asarray(sort["levels"][i][key]), err_msg=f"level{i}/{key}")
 
 
+def test_unet_plan_pallas_map_bitequal(rng):
+    """build_unet_plan with pallas_map='force' produces bit-identical k3
+    maps at every level (all level grids fit at the test extent, so every
+    level routes through the Pallas kernel)."""
+    caps = (256, 256, 128, 64, 32)
+    B = 2
+    coords = np.zeros((B, caps[0], 3), np.int32)
+    mask = np.zeros((B, caps[0]), bool)
+    for b in range(B):
+        c = np.unique(rng.randint(0, 28, (260, 3)), axis=0)[:200]
+        coords[b, :len(c)], mask[b, :len(c)] = c, True
+    cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+    base = jax.jit(lambda c, m: build_unet_plan(
+        c, m, caps, dense_lookup=True, extent=(64, 64, 64), need_k5=False,
+        dense_downsample=True))(cj, mj)
+    pal = jax.jit(lambda c, m: build_unet_plan(
+        c, m, caps, dense_lookup=True, extent=(64, 64, 64), need_k5=False,
+        dense_downsample=True, pallas_map="force"))(cj, mj)
+    for i in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(pal["levels"][i]["map_k3"]),
+            np.asarray(base["levels"][i]["map_k3"]), err_msg=f"level{i}")
+
+
 def test_dense_conv_matches_gather_conv(rng):
     """sparse_conv_dense_grid == sparse_conv_apply on the same map."""
     from situation3d_tpu.sparse.conv import (sparse_conv_apply,
@@ -553,3 +577,28 @@ def test_conv0_zwin_gradients_match(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk_z), np.asarray(gk_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_minkunet_fused_conv_path(rng, tiny_unet):
+    """UNet with the fused Pallas conv (interpret) matches the XLA-path
+    UNet end-to-end, decoder included (exercises every K/C combination the
+    real network feeds the kernel)."""
+    import dataclasses
+    cfg_on = dataclasses.replace(tiny_unet, fused_conv="force",
+                                 grid_extent=(64, 64, 64))
+    cfg_off = dataclasses.replace(tiny_unet, fused_conv=False,
+                                  grid_extent=(64, 64, 64))
+    coords, mask, feats = _unet_inputs(rng, cfg_on)
+    plan = jax.jit(lambda c, m: build_unet_plan(
+        c, m, cfg_on.capacities, True, cfg_on.grid_extent))(coords, mask)
+    x = SparseVoxels(coords=coords, feats=feats, mask=mask, stride=1)
+    m_on = MinkUNet(cfg_on, final_result=True)
+    m_off = MinkUNet(cfg_off, final_result=True)
+    vs = jax.jit(lambda p: m_on.init(jax.random.PRNGKey(0), x, p,
+                                     train=False))(plan)
+    out_on = m_on.apply(vs, x, plan, train=False)
+    out_off = jax.jit(lambda v, p: m_off.apply(v, x, p, train=False))(vs, plan)
+    for key in ("feat_bottleneck", "openscene_out"):
+        np.testing.assert_allclose(
+            np.asarray(out_on[key].feats), np.asarray(out_off[key].feats),
+            rtol=2e-4, atol=2e-4)
