@@ -147,6 +147,13 @@ def conv_gather_counts(cfg):
     for lvl in range(1, 5):
         convs.append((caps[lvl], 8, chans))                # strided k2
         p = planes[lvl - 1]
+        if lvl == 1 and getattr(cfg.sparse, "zwin_level1", False):
+            # z-window k3 convs: 12 gathered window rows + 1 scattered row
+            # per voxel, all 256 B (128 bf16 lanes); no map rows at all
+            n_convs = 2 * cfg.sparse.layers[0]
+            convs.extend([(caps[1], 13, 64)] * n_convs)
+            chans = p
+            continue
         convs.append((caps[lvl], 27, chans))               # block conv1
         convs.append((caps[lvl], 27, p))                   # block conv2
         for _ in range(cfg.sparse.layers[lvl - 1] - 1):
@@ -161,7 +168,10 @@ def conv_gather_counts(cfg):
     # when dense_downsample is on).
     map_rows = zwin_scatter_rows if cfg.sparse.conv0_zwin else caps[0] * 125
     for lvl in range(1, 5):
-        map_rows += caps[lvl] * 27
+        if lvl == 1 and getattr(cfg.sparse, "zwin_level1", False):
+            pass                       # level-1 grid + k3 map DCE'd
+        else:
+            map_rows += caps[lvl] * 27
         if not cfg.sparse.dense_downsample:
             map_rows += caps[lvl] * 8
     return byts, rows, map_rows

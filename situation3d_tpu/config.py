@@ -96,6 +96,17 @@ class SparseConfig:
     # bit-identical order for in-extent scenes). Requires dense_lookup.
     # Chip-measured (v5e, B=8): headline 10.43 -> 11.63 samples/s (+11.5%).
     dense_downsample: bool = True
+    # level-1 ResLayer k3 convs (C_in = 32 — the one conv class where both
+    # Pallas paths measured slower than XLA's gather engine) as map-free
+    # z-window dense-grid convs (sparse/conv.py sparse_conv_k3_zwin):
+    # 12 contiguous 256 B window rows/voxel replace 27 64 B rows/voxel in
+    # the XLA small-row regime, and the level-1 k3 kernel map + level-1
+    # grid build drop out of the plan entirely (DCE). Requires dense_lookup.
+    # OFF: chip-measured end-to-end LOSS (v5e B=8, headline 11.82 -> 10.56
+    # samples/s) — unlike conv0, the per-conv dense-grid scatter+memset is
+    # paid 4x per sample while the map it deletes was shared by all 4 convs.
+    # Kept as a measured option for hardware with faster memset/scatter.
+    zwin_level1: bool = False
     # k3 kernel-map builds as a Pallas kernel on a VMEM-resident z-packed
     # level grid (ops/pallas/map_lookup.py): 27 elementwise XLA grid
     # gathers (~65 M single-int32 rows/s, the dominant residual plan cost)

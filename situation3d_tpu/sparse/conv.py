@@ -138,6 +138,9 @@ class SparseConv(nn.Module):
     # sparse_conv_dense_grid); requires out coords == in coords
     dense_grid_extent: Optional[tuple] = None
     pallas_gather: Any = False
+    # map-free z-window path for same-stride k3 convs at C_in == 32 (see
+    # sparse_conv_k3_zwin); requires out coords == in coords
+    zwin_extent: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: SparseVoxels, nbr_idx, out_coords, out_mask, out_stride) -> SparseVoxels:
@@ -149,7 +152,12 @@ class SparseConv(nn.Module):
             (self.kernel_volume, c_in, self.out_channels),
             jnp.float32,
         )
-        if self.dense_grid_extent is not None and self.kernel_volume == 27:
+        if (self.zwin_extent is not None and self.kernel_volume == 27
+                and c_in == 32):
+            out = sparse_conv_k3_zwin(
+                x.feats.astype(self.dtype), x.coords, x.mask,
+                kernel.astype(self.dtype), tuple(self.zwin_extent), x.stride)
+        elif self.dense_grid_extent is not None and self.kernel_volume == 27:
             out = sparse_conv_dense_grid(
                 x.feats.astype(self.dtype), x.coords, x.mask, x.stride,
                 kernel, self.dense_grid_extent)
@@ -438,6 +446,154 @@ def sparse_conv0_zwin(
             in_extent.reshape(B // bc, bc, V)))
         out = out.reshape(B, V, C_out)
     return out, misses
+
+
+@functools.lru_cache(maxsize=4)
+def _zwin_k3_phase_maps(c_in: int):
+    """Static (phase, window-position, kernel-tap) index triplets for the
+    k3 z-window conv's phase-expanded weight scatter (:func:`sparse_conv_k3_zwin`).
+
+    Lane packing: ``2 y-cells x 2 z-cells x c_in`` channels per 128-lane
+    row (c_in == 32). For a voxel of phase ``py = cy & 1``, ``pz = cz & 1``
+    and kernel tap ``(dx, j, k, ch)`` (y offset j-1, z offset k-1), the tap
+    sits in the gathered ``[12, 128]`` window block at flat position
+    ``m = ((dx*2 + cc)*2 + gg)*128 + ((w&1)*2 + (u&1))*c_in + ch`` with
+    ``w, u = py + j, pz + k`` and ``gg, cc = w >> 1, u >> 1`` — matching
+    the scatter's lane packing and the window row order
+    ``(dx, z-chunk, y-group)``. Kernel taps index the flattened
+    ``[27*c_in, C_out]`` kernel in kernel_offsets(3) order (x slowest)."""
+    py, pz, dx, j, k, ch = np.meshgrid(
+        np.arange(2), np.arange(2), np.arange(3), np.arange(3), np.arange(3),
+        np.arange(c_in), indexing="ij")
+    w = py + j
+    u = pz + k
+    p_idx = (py * 2 + pz).ravel()
+    m_idx = (((dx * 2 + (u >> 1)) * 2 + (w >> 1)) * 128
+             + ((w & 1) * 2 + (u & 1)) * c_in + ch).ravel()
+    t_idx = (((dx * 3 + j) * 3 + k) * c_in + ch).ravel()
+    return (np.asarray(p_idx, np.int32), np.asarray(m_idx, np.int32),
+            np.asarray(t_idx, np.int32))
+
+
+def sparse_conv_k3_zwin(
+    feats: jnp.ndarray,
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    kernel: jnp.ndarray,
+    extent,
+    stride: int,
+    precision=None,
+    batch_chunk: int = 2,
+) -> jnp.ndarray:
+    """k3 same-stride sparse conv via a window-packed dense feature grid —
+    the :func:`sparse_conv0_zwin` formulation at C_in == 32 (the level-1
+    ResLayer class, the one conv family left on the XLA gather path:
+    4 convs/sample at C32, K*V_out >= 0.5M rows, where both the fused
+    Pallas kernel and the plain VMEM gather measured slower than XLA).
+
+    Per conv this replaces 27 x V 64 B feature-row gathers (~20 ns/row,
+    the XLA small-row regime) + the shared level k3 kernel map
+    (27 x V single-int32 grid gathers in the plan) with:
+
+    1. one row-granular scatter-add of V 256 B rows into a dense grid
+       whose 128-lane rows pack ``2 y-cells x 2 z-cells x 32 ch`` (zero
+       layout padding; each (row, lane) receives at most one voxel's
+       channel, so the add is collision-exact and deterministic);
+    2. 12 contiguous 256 B window-row gathers per voxel
+       (3 dx x 2 z-chunks x 2 y-groups covering the 3x3x3 neighborhood);
+    3. one 1536-deep MXU contraction against the PHASE-EXPANDED weight
+       matrix ``[12*128, 4*C_out]`` (tap positions depend only on the
+       voxel's ``(cy & 1, cz & 1)`` phase — 4 cases), then a one-hot
+       phase select (exactly one nonzero term — selection-exact).
+
+    Numerics: identical to the kernel-map path up to f32 summation order
+    for in-extent voxels; out-of-extent voxels output zero (with the
+    default ``dense_downsample`` such voxels are already dropped at
+    downsample time, so levels >= 1 never contain them).
+
+    Args:
+      feats: [B, V, 32] (padding rows zero); coords int32 [B, V, 3] raw
+        units (multiples of ``stride``); mask bool [B, V]; kernel
+        [27, 32, C_out] in kernel_offsets(3) order (x slowest); extent
+        static raw-unit bound; stride the level's tensor stride.
+    Returns [B, V, C_out].
+    """
+    B, V, C_in = feats.shape
+    assert C_in == 32, "z-window k3 conv packs 4 voxels per 128-lane row"
+    C_out = kernel.shape[-1]
+    CX, CY, CZ = (e // stride for e in extent)
+    XP = CX + 2                      # one pad cell per side (k3 reach)
+    NYG = (CY - 1) // 2 + 2          # y-groups of 2 (y' = cy + 1)
+    ZC = (CZ - 1) // 2 + 2           # z-chunks of 2
+    n_rows = XP * ZC * NYG
+
+    c = coords // stride
+    in_extent = mask & jnp.all(c >= 0, axis=-1) \
+        & (c[..., 0] < CX) & (c[..., 1] < CY) & (c[..., 2] < CZ)
+
+    p_idx, m_idx, t_idx = _zwin_k3_phase_maps(C_in)
+    kf = kernel.reshape(27 * C_in, C_out).astype(feats.dtype)
+    WP = jnp.zeros((4, 12 * 128, C_out), feats.dtype)
+    WP = WP.at[p_idx, m_idx].set(jnp.take(kf, t_idx, axis=0))
+    WPmat = WP.transpose(1, 0, 2).reshape(12 * 128, 4 * C_out)
+    dxs = np.arange(-1, 2, dtype=np.int32)                       # [3]
+
+    def one_chunk(args):
+        f, cc3, ext = args                                       # [bc, ...]
+        bc = f.shape[0]
+        xp = cc3[..., 0] + 1
+        yp = cc3[..., 1] + 1
+        zp = cc3[..., 2] + 1
+        row = (xp * ZC + (zp >> 1)) * NYG + (yp >> 1)            # [bc, V]
+        row = jnp.where(ext, row, n_rows)                        # drop pads
+        slot = (yp & 1) * 2 + (zp & 1)                           # [bc, V]
+
+        # place the 32 channels at lane slot*32 via 4 static pads (a
+        # one-hot einsum would materialize a lane-padded [.., 4, 32]
+        # minor; pads keep every big intermediate at a 128 minor)
+        fz = jnp.where(ext[..., None], f, 0)
+        f128 = jnp.zeros((bc, V, 128), f.dtype)
+        for s in range(4):
+            fs = jnp.pad(fz, ((0, 0), (0, 0), (32 * s, 96 - 32 * s)))
+            f128 = jnp.where((slot == s)[..., None], fs, f128)
+        # row-granular scatter-add: disjoint (row, lane) targets per voxel
+        # channel, all other lanes zero -> exact and order-independent
+        grid = jnp.zeros((bc, n_rows, 128), f.dtype)
+        grid = grid.at[jnp.arange(bc)[:, None], row].add(f128, mode="drop")
+
+        # window rows: (dx 3) x (z-chunk 2) x (y-group 2)
+        c0 = (zp - 1) >> 1
+        g0 = (yp - 1) >> 1
+        r = ((xp[..., None, None, None] + dxs[None, None, :, None, None])
+             * ZC + c0[..., None, None, None]
+             + jnp.arange(2, dtype=jnp.int32)[None, None, None, :, None]) \
+            * NYG + g0[..., None, None, None] \
+            + jnp.arange(2, dtype=jnp.int32)[None, None, None, None, :]
+        r = jnp.where(ext[..., None, None, None], r, 0)
+        win = jnp.take_along_axis(grid, r.reshape(bc, V * 12)[..., None],
+                                  axis=1)                        # [bc, V*12, 128]
+
+        # one 1536-deep MXU matmul for ALL 4 phases + one-hot select
+        out_all = jnp.einsum(
+            "bvm,mq->bvq", win.reshape(bc, V, 12 * 128), WPmat,
+            preferred_element_type=jnp.float32,
+            precision=precision).astype(f.dtype)                 # [bc,V,4*C]
+        phase = ((yp - 1) & 1) * 2 + ((zp - 1) & 1)
+        oh = jax.nn.one_hot(phase, 4, dtype=f.dtype)
+        out = jnp.einsum("bvpo,bvp->bvo",
+                         out_all.reshape(bc, V, 4, C_out), oh,
+                         preferred_element_type=jnp.float32,
+                         precision=precision)
+        return jnp.where(ext[..., None], out, 0).astype(f.dtype)
+
+    bc = batch_chunk if B % batch_chunk == 0 else 1
+    if bc == B:
+        return one_chunk((feats, c, in_extent))
+    out = jax.lax.map(one_chunk, (
+        feats.reshape(B // bc, bc, V, C_in),
+        c.reshape(B // bc, bc, V, 3),
+        in_extent.reshape(B // bc, bc, V)))
+    return out.reshape(B, V, C_out)
 
 
 def sparse_conv_dense_grid(

@@ -211,13 +211,15 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dense_grid_extent: tuple = None
     pallas_gather: Any = False
+    zwin_extent: tuple = None
 
     @nn.compact
     def __call__(self, x: SparseVoxels, nbr_idx, train: bool, momentum=None) -> SparseVoxels:
         residual = x
         out = SparseConv(self.planes, self.kernel_volume, dtype=self.dtype,
                          dense_grid_extent=self.dense_grid_extent,
-                         pallas_gather=self.pallas_gather, name="conv1")(
+                         pallas_gather=self.pallas_gather,
+                         zwin_extent=self.zwin_extent, name="conv1")(
             x, nbr_idx, x.coords, x.mask, x.stride
         )
         out = SparseBatchNorm(dtype=self.dtype, name="norm1")(
@@ -226,7 +228,8 @@ class BasicBlock(nn.Module):
         out = sparse_relu(out)
         out = SparseConv(self.planes, self.kernel_volume, dtype=self.dtype,
                          dense_grid_extent=self.dense_grid_extent,
-                         pallas_gather=self.pallas_gather, name="conv2")(
+                         pallas_gather=self.pallas_gather,
+                         zwin_extent=self.zwin_extent, name="conv2")(
             out, nbr_idx, out.coords, out.mask, out.stride
         )
         out = SparseBatchNorm(dtype=self.dtype, name="norm2")(
@@ -246,6 +249,7 @@ class ResLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dense_grid_extent: tuple = None
     pallas_gather: Any = False
+    zwin_extent: tuple = None
 
     @nn.compact
     def __call__(self, x, nbr_idx, train, momentum=None):
@@ -253,6 +257,7 @@ class ResLayer(nn.Module):
             x = BasicBlock(self.planes, dtype=self.dtype,
                            dense_grid_extent=self.dense_grid_extent,
                            pallas_gather=self.pallas_gather,
+                           zwin_extent=self.zwin_extent,
                            name=f"block{i}")(x, nbr_idx, train, momentum)
         return x
 
@@ -313,7 +318,15 @@ class MinkUNet(nn.Module):
 
         h = conv("conv1p1s2", cfg.init_dim, 8, h, L[1]["map_down"], L[1], 2)
         h = sparse_relu(bn("bn1", h))
-        h = ResLayer(cfg.planes[0], cfg.layers[0], dt, dense_ext(2), pg, name="block1")(h, L[1]["map_k3"], train, momentum)
+        # level-1 z-window path (C32): the ResLayer never touches
+        # L[1]["map_k3"], whose construction (the largest remaining k3 map,
+        # 27 x 24576 grid gathers) and the level-1 grid build XLA then DCEs
+        zwin1 = (tuple(cfg.grid_extent)
+                 if getattr(cfg, "zwin_level1", False) and cfg.dense_lookup
+                 else None)
+        h = ResLayer(cfg.planes[0], cfg.layers[0], dt, dense_ext(2), pg,
+                     zwin_extent=zwin1, name="block1")(
+            h, L[1]["map_k3"], train, momentum)
         out_b1p2 = h
 
         h = conv("conv2p2s2", h.num_channels, 8, h, L[2]["map_down"], L[2], 4)

@@ -579,6 +579,128 @@ def test_conv0_zwin_gradients_match(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_conv_k3_zwin_matches_gather_path(rng):
+    """sparse_conv_k3_zwin (map-free z-window k3 conv at C_in=32, the
+    level-1 ResLayer class) must equal the kernel-map gather path,
+    including boundary windows, odd cell extents and out-of-extent
+    voxels."""
+    from situation3d_tpu.sparse.conv import sparse_conv_k3_zwin
+    from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                   lookup_kernel_map_dense)
+
+    extent, stride = (48, 28, 20), 2     # cells (24, 14, 10); odd NYG/ZC math
+    B, cap, n_occ = 4, 96, 80            # B > batch_chunk -> lax.map path
+    coords = np.zeros((B, cap, 3), np.int32)
+    mask = np.zeros((B, cap), bool)
+    for b in range(B):
+        c, m = make_sparse(rng, n_occ, span=12, cap=cap, seed_offset=b)
+        c = c * stride                   # multiples of the level stride
+        # full-span cell shifts keep voxels unique (no scatter collisions)
+        c[:10, 0] += 24                  # x cells in [12, 24): boundary
+        c[5:8, 2] += 24                  # z cells [12, 24): all misses
+        coords[b], mask[b] = c, m
+    feats = rng.randn(B, cap, 32).astype(np.float32)
+    feats[~mask] = 0
+    kernel = rng.randn(27, 32, 16).astype(np.float32) * 0.1
+
+    offs = jnp.asarray(kernel_offsets(3))
+    grid, _ = jax.vmap(lambda c, m: build_level_grid(c, m, stride, extent))(
+        jnp.asarray(coords), jnp.asarray(mask))
+    nbr = jax.vmap(lambda g, oc, om: lookup_kernel_map_dense(
+        g, cap, oc, om, offs, stride, stride, extent))(
+        grid, jnp.asarray(coords), jnp.asarray(mask))
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(sparse_conv_apply(
+            jnp.asarray(feats), nbr, jnp.asarray(kernel)))
+        got = np.asarray(jax.jit(sparse_conv_k3_zwin, static_argnums=(4, 5))(
+            jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(mask),
+            jnp.asarray(kernel), extent, stride))
+    # in-extent voxels: exact agreement; out-of-extent voxels are the
+    # documented semantic difference (map path: partial neighborhoods,
+    # zwin: zero) — with dense_downsample they never reach level 1
+    in_ext = mask & (coords < np.asarray(extent)).all(-1)
+    assert (~in_ext & mask).sum() > 0
+    np.testing.assert_allclose(got[in_ext], want[in_ext],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(got[~in_ext], 0.0)
+
+
+def test_conv_k3_zwin_gradients_match(rng):
+    """Gradients through the k3 z-window conv (row scatter-add / window
+    gather / phase matmul) must match the kernel-map path."""
+    from situation3d_tpu.sparse.conv import sparse_conv_k3_zwin
+    from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                   lookup_kernel_map_dense)
+
+    extent, stride = (16, 16, 16), 2
+    B, cap, n_occ = 1, 48, 40
+    c, m = make_sparse(rng, n_occ, span=8, cap=cap)
+    coords, mask = (c * stride)[None], m[None]
+    feats = rng.randn(B, cap, 32).astype(np.float32)
+    feats[~mask] = 0
+    kernel = rng.randn(27, 32, 8).astype(np.float32) * 0.1
+
+    offs = jnp.asarray(kernel_offsets(3))
+    grid, _ = jax.vmap(lambda c, m: build_level_grid(c, m, stride, extent))(
+        jnp.asarray(coords), jnp.asarray(mask))
+    nbr = jax.vmap(lambda g, oc, om: lookup_kernel_map_dense(
+        g, cap, oc, om, offs, stride, stride, extent))(
+        grid, jnp.asarray(coords), jnp.asarray(mask))
+
+    tgt = rng.randn(B, cap, 8).astype(np.float32)
+
+    def loss_ref(f, k):
+        out = sparse_conv_apply(f, nbr, k)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_zwin(f, k):
+        out = sparse_conv_k3_zwin(f, jnp.asarray(coords), jnp.asarray(mask),
+                                  k, extent, stride)
+        return jnp.sum((out - tgt) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        gf_ref, gk_ref = jax.grad(loss_ref, (0, 1))(
+            jnp.asarray(feats), jnp.asarray(kernel))
+        gf_z, gk_z = jax.grad(loss_zwin, (0, 1))(
+            jnp.asarray(feats), jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(gf_z), np.asarray(gf_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_z), np.asarray(gk_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_minkunet_zwin_level1_path(rng):
+    """UNet with zwin_level1 (C32 level-1 ResLayer on the z-window path)
+    matches the kernel-map UNet end-to-end; the level-1 k3 map is never
+    consumed by the zwin forward."""
+    import dataclasses
+    base = SparseConfig(
+        planes=(32, 16, 32, 64, 32, 32, 24, 24),  # planes[0]=32: zwin class
+        layers=(1, 1, 1, 1, 1, 1, 1, 1),
+        init_dim=32,
+        in_channels=3,
+        out_channels=16,
+        capacities=(256, 128, 64, 32, 16),
+        grid_extent=(64, 64, 64),
+    )
+    cfg_on = dataclasses.replace(base, zwin_level1=True)
+    coords, mask, feats = _unet_inputs(rng, base)
+    plan = jax.jit(lambda c, m: build_unet_plan(
+        c, m, base.capacities, True, base.grid_extent))(coords, mask)
+    x = SparseVoxels(coords=coords, feats=feats, mask=mask, stride=1)
+    m_on = MinkUNet(cfg_on, final_result=True)
+    m_off = MinkUNet(base, final_result=True)
+    with jax.default_matmul_precision("highest"):
+        vs = jax.jit(lambda p: m_on.init(jax.random.PRNGKey(0), x, p,
+                                         train=False))(plan)
+        out_on = jax.jit(lambda v, p: m_on.apply(v, x, p, train=False))(vs, plan)
+        out_off = jax.jit(lambda v, p: m_off.apply(v, x, p, train=False))(vs, plan)
+    for key in ("feat_bottleneck", "openscene_out"):
+        np.testing.assert_allclose(
+            np.asarray(out_on[key].feats), np.asarray(out_off[key].feats),
+            rtol=2e-4, atol=2e-4)
+
+
 def test_minkunet_fused_conv_path(rng, tiny_unet):
     """UNet with the fused Pallas conv (interpret) matches the XLA-path
     UNet end-to-end, decoder included (exercises every K/C combination the
