@@ -167,9 +167,17 @@ def conv_gather_counts(cfg):
     # level, k2 down maps (derived for free from the downsample scatter
     # when dense_downsample is on).
     map_rows = zwin_scatter_rows if cfg.sparse.conv0_zwin else caps[0] * 125
+    pm = getattr(cfg.sparse, "pallas_map", False)
+    if pm:
+        from situation3d_tpu.ops.pallas.map_lookup import map_lookup_fits
     for lvl in range(1, 5):
         if lvl == 1 and getattr(cfg.sparse, "zwin_level1", False):
             pass                       # level-1 grid + k3 map DCE'd
+        elif pm and map_lookup_fits(
+                np.prod([e // 2 ** lvl for e in cfg.sparse.grid_extent]),
+                cfg.sparse.grid_extent[2] // 2 ** lvl):
+            pass   # k3 map served by the Pallas VMEM-grid kernel, not the
+            #        XLA map-rate gather engine (ops/pallas/map_lookup.py)
         else:
             map_rows += caps[lvl] * 27
         if not cfg.sparse.dense_downsample:

@@ -115,7 +115,9 @@ class SparseConfig:
     # budget: at the default grid_extent that is levels 2-4; level 1 (the
     # largest map) additionally needs grid_extent <= (320, 320, 128).
     # True = auto (TPU only); "force" = interpret mode on CPU (tests).
-    pallas_map: Any = False
+    # Chip-measured (v5e B=8, interleaved A/B): headline 11.83 -> 12.34
+    # samples/s (+4.3%).
+    pallas_map: Any = True
 
 
 @dataclass
