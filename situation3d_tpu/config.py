@@ -118,6 +118,16 @@ class SparseConfig:
     # Chip-measured (v5e B=8, interleaved A/B): headline 11.83 -> 12.34
     # samples/s (+4.3%).
     pallas_map: Any = True
+    # level-1 k3 map from a bit-packed VMEM occupancy grid + prefix
+    # popcount rank table (ops/pallas/map_bits.py): the 33.5 MB level-1
+    # int32 grid shrinks to 2.1 MB of VMEM tables and the grid build +
+    # all level-1 map gathers (the largest remaining plan item,
+    # DESIGN.md §10) leave the XLA gather engine. Valid only for levels
+    # produced by the dense downsample (rank == row id needs ascending
+    # flat order), so requires dense_downsample; applies wherever the
+    # int32-grid Pallas kernel does NOT fit but the bit tables do.
+    # True = auto (TPU only); "force" = interpret mode on CPU (tests).
+    pallas_map_bits: Any = False
 
 
 @dataclass

@@ -145,7 +145,8 @@ class SIG3D(nn.Module):
                 cfg.sparse.dense_lookup, cfg.sparse.grid_extent,
                 need_k5=not (cfg.sparse.conv0_zwin and cfg.sparse.dense_lookup),
                 dense_downsample=cfg.sparse.dense_downsample,
-                pallas_map=cfg.sparse.pallas_map)
+                pallas_map=cfg.sparse.pallas_map,
+                pallas_map_bits=cfg.sparse.pallas_map_bits)
             if "overflow" in plan:
                 # capacity/extent overflow counters (visible in train logs;
                 # graceful, *reported* degradation)

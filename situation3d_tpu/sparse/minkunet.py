@@ -51,6 +51,7 @@ def build_unet_plan(
     need_k5: bool = True,
     dense_downsample: bool = False,
     pallas_map: Any = False,
+    pallas_map_bits: Any = False,
 ) -> Dict[str, Any]:
     """Build all coordinate sets and kernel maps for the UNet, batched.
 
@@ -148,18 +149,35 @@ def build_unet_plan(
         # z-packed grid fits the VMEM budget; bit-equal to the XLA lookup
         on_cpu = jax.devices()[0].platform == "cpu"
         pm_on = bool(pallas_map) and (pallas_map == "force" or not on_cpu)
+        pb_on = bool(pallas_map_bits) and (pallas_map_bits == "force"
+                                           or not on_cpu)
 
         def lookup_k3(level_i, out_coords, out_mask):
             s = STRIDES[level_i]
+            cells = tuple(e // s for e in extent)
+            n_cells = cells[0] * cells[1] * cells[2]
+            v_in = levels[level_i]["coords"].shape[1]
             if pm_on:
                 from situation3d_tpu.ops.pallas.map_lookup import (
                     k3_map_lookup_pallas, map_lookup_fits)
-                cells = tuple(e // s for e in extent)
-                if map_lookup_fits(cells[0] * cells[1] * cells[2],
-                                   cells[2]):
-                    v_in = levels[level_i]["coords"].shape[1]
+                if map_lookup_fits(n_cells, cells[2]):
                     return k3_map_lookup_pallas(
                         grids[level_i], out_coords // s, out_mask, cells,
+                        v_in, interpret=on_cpu)
+            # where the int32 grid can't fit (level 1: 33.5 MB), the
+            # bit-packed occupancy tables (2.1 MB) can — valid only for
+            # dense-downsampled levels (rank == row id needs ascending
+            # flat order, downsample_coords_dense's guarantee)
+            if pb_on and dense_downsample and level_i >= 1:
+                from situation3d_tpu.ops.pallas.map_bits import (
+                    build_level_bits, k3_map_lookup_bits, map_bits_fits)
+                if map_bits_fits(n_cells, cells[2]):
+                    lvl = levels[level_i]
+                    bits, pfx = jax.vmap(
+                        lambda c, m: build_level_bits(c, m, s, extent)
+                    )(lvl["coords"], lvl["mask"])
+                    return k3_map_lookup_bits(
+                        bits, pfx, out_coords // s, out_mask, cells,
                         v_in, interpret=on_cpu)
             return lookup(level_i, out_coords, out_mask, k3, s)
     else:

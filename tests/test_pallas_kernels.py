@@ -202,3 +202,85 @@ def test_fused_conv_fits_budget():
     assert fused_conv_fits(3072, 256, 256)    # level 4 (2 lane tiles/row)
     assert not fused_conv_fits(49152, 64, 64)   # 12.6 MB table
     assert not fused_conv_fits(24576, 96, 32)   # 96 does not divide 128
+
+
+def test_k3_map_bits_matches_dense(rng):
+    """Bit-packed occupancy k3 map == lookup_kernel_map_dense bit-exact
+    for sorted-unique levels (the dense-downsample order guarantee),
+    across word packings (Z/32 = 1/4), strides, corners, masked rows."""
+    from situation3d_tpu.ops.pallas.map_bits import (build_level_bits,
+                                                     k3_map_lookup_bits,
+                                                     map_bits_fits)
+    from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                   kernel_offsets,
+                                                   lookup_kernel_map_dense)
+    k3 = jnp.asarray(kernel_offsets(3))
+    for extent, stride in (((64, 64, 128), 1), ((64, 64, 64), 2),
+                           ((32, 48, 32), 1)):
+        cells = tuple(e // stride for e in extent)
+        assert map_bits_fits(cells[0] * cells[1] * cells[2], cells[2])
+        V = 300
+        # np.unique lex (x, y, z) order == ascending flat order
+        c = np.unique(
+            np.stack([np.random.RandomState(7).randint(0, cells[i], 400)
+                      for i in range(3)], 1), axis=0)[:260]
+        c[0] = (0, 0, 0)
+        c[-1] = (cells[0] - 1, cells[1] - 1, cells[2] - 1)
+        c = np.unique(c, axis=0)
+        coords = np.zeros((V, 3), np.int32)
+        mask = np.zeros((V,), bool)
+        coords[: len(c)], mask[: len(c)] = c * stride, True
+        cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+        grid, _ = build_level_grid(cj, mj, stride, extent)
+        want = lookup_kernel_map_dense(grid, V, cj, mj, k3, stride, stride,
+                                       extent)
+        bits, pfx = build_level_bits(cj, mj, stride, extent)
+        got = k3_map_lookup_bits(bits[None], pfx[None], (cj // stride)[None],
+                                 mj[None], cells, V, interpret=True)[0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"{extent} s{stride}")
+
+
+def test_k3_map_bits_on_downsampled_level(rng):
+    """End-to-end validity claim: a level PRODUCED by the dense downsample
+    (incl. capacity overflow, where the last slot holds the largest key)
+    satisfies rank == row id, so the bits map equals the grid map."""
+    from situation3d_tpu.ops.pallas.map_bits import (build_level_bits,
+                                                     k3_map_lookup_bits)
+    from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                   downsample_coords_dense,
+                                                   kernel_offsets,
+                                                   lookup_kernel_map_dense)
+    k3 = jnp.asarray(kernel_offsets(3))
+    extent = (64, 64, 64)
+    fine = np.random.RandomState(3).randint(0, 64, (600, 3)).astype(np.int32)
+    fmask = np.ones((600,), bool)
+    fmask[550:] = False
+    for capacity in (256, 96):                    # 96 forces overflow
+        c, m, dropped = downsample_coords_dense(
+            jnp.asarray(fine), jnp.asarray(fmask), 1, 2, capacity, extent)
+        if capacity == 96:
+            assert int(dropped) > 0
+        cells = tuple(e // 2 for e in extent)
+        grid, _ = build_level_grid(c, m, 2, extent)
+        want = lookup_kernel_map_dense(grid, capacity, c, m, k3, 2, 2,
+                                       extent)
+        bits, pfx = build_level_bits(c, m, 2, extent)
+        got = k3_map_lookup_bits(bits[None], pfx[None], (c // 2)[None],
+                                 m[None], cells, capacity,
+                                 interpret=True)[0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"cap={capacity}")
+
+
+def test_map_bits_fits_level1():
+    """The whole point: level 1 (8.4 M cells, 33.5 MB int32 grid) fits as
+    bits+prefix (2.1 MB); the int32 VMEM-grid kernel never can."""
+    from situation3d_tpu.ops.pallas.map_bits import map_bits_fits
+    from situation3d_tpu.ops.pallas.map_lookup import map_lookup_fits
+    cells = (256, 256, 128)                       # (512,512,256) / stride 2
+    n = cells[0] * cells[1] * cells[2]
+    assert map_bits_fits(n, cells[2])
+    assert not map_lookup_fits(n, cells[2])
+    assert not map_bits_fits(n, 48)               # Z % 32 != 0
+    assert not map_bits_fits(512 * 512 * 256, 256)  # level 0: 8.4 MB > budget

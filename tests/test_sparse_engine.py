@@ -724,3 +724,32 @@ def test_minkunet_fused_conv_path(rng, tiny_unet):
         np.testing.assert_allclose(
             np.asarray(out_on[key].feats), np.asarray(out_off[key].feats),
             rtol=2e-4, atol=2e-4)
+
+
+def test_unet_plan_pallas_map_bits_bitequal(rng):
+    """pallas_map_bits='force' + dense_downsample produces a bit-identical
+    level-1 k3 map at an extent where the int32 VMEM grid CANNOT fit
+    (16.8 MB) but the bit-packed occupancy tables (1 MB) can."""
+    from situation3d_tpu.ops.pallas.map_bits import map_bits_fits
+    from situation3d_tpu.ops.pallas.map_lookup import map_lookup_fits
+    extent = (512, 512, 128)
+    assert not map_lookup_fits(256 * 256 * 64, 64)
+    assert map_bits_fits(256 * 256 * 64, 64)
+    caps = (256, 128, 64, 32, 16)
+    B = 2
+    coords = np.zeros((B, caps[0], 3), np.int32)
+    mask = np.zeros((B, caps[0]), bool)
+    for b in range(B):
+        c = np.unique(rng.randint(0, 200, (260, 3)), axis=0)[:200]
+        c[0] = (0, 0, 0)
+        c[1] = (511, 511, 127)           # far corner: rows > 0, z edge
+        coords[b, :len(c)], mask[b, :len(c)] = np.unique(c, axis=0), True
+    cj, mj = jnp.asarray(coords), jnp.asarray(mask)
+    base = jax.jit(lambda c, m: build_unet_plan(
+        c, m, caps, dense_lookup=True, extent=extent, need_k5=False,
+        dense_downsample=True)["levels"][1]["map_k3"])(cj, mj)
+    bits = jax.jit(lambda c, m: build_unet_plan(
+        c, m, caps, dense_lookup=True, extent=extent, need_k5=False,
+        dense_downsample=True, pallas_map_bits="force")
+        ["levels"][1]["map_k3"])(cj, mj)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(base))
