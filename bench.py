@@ -170,14 +170,21 @@ def conv_gather_counts(cfg):
     pm = getattr(cfg.sparse, "pallas_map", False)
     if pm:
         from situation3d_tpu.ops.pallas.map_lookup import map_lookup_fits
+    pb = (getattr(cfg.sparse, "pallas_map_bits", False)
+          and cfg.sparse.dense_downsample)
+    if pb:
+        from situation3d_tpu.ops.pallas.map_bits import map_bits_fits
     for lvl in range(1, 5):
+        n_cells = int(np.prod([e // 2 ** lvl for e in cfg.sparse.grid_extent]))
+        z_cells = cfg.sparse.grid_extent[2] // 2 ** lvl
         if lvl == 1 and getattr(cfg.sparse, "zwin_level1", False):
             pass                       # level-1 grid + k3 map DCE'd
-        elif pm and map_lookup_fits(
-                np.prod([e // 2 ** lvl for e in cfg.sparse.grid_extent]),
-                cfg.sparse.grid_extent[2] // 2 ** lvl):
+        elif pm and map_lookup_fits(n_cells, z_cells):
             pass   # k3 map served by the Pallas VMEM-grid kernel, not the
             #        XLA map-rate gather engine (ops/pallas/map_lookup.py)
+        elif pb and map_bits_fits(n_cells, z_cells):
+            pass   # k3 map served by the bit-packed VMEM occupancy kernel
+            #        (ops/pallas/map_bits.py) — level 1 at default extent
         else:
             map_rows += caps[lvl] * 27
         if not cfg.sparse.dense_downsample:

@@ -127,7 +127,9 @@ class SparseConfig:
     # flat order), so requires dense_downsample; applies wherever the
     # int32-grid Pallas kernel does NOT fit but the bit tables do.
     # True = auto (TPU only); "force" = interpret mode on CPU (tests).
-    pallas_map_bits: Any = False
+    # Chip-measured (v5e B=8, interleaved A/B, 3 rounds): headline
+    # 12.34 -> 13.34 samples/s (+8.1%).
+    pallas_map_bits: Any = True
 
 
 @dataclass

@@ -284,3 +284,30 @@ def test_map_bits_fits_level1():
     assert not map_lookup_fits(n, cells[2])
     assert not map_bits_fits(n, 48)               # Z % 32 != 0
     assert not map_bits_fits(512 * 512 * 256, 256)  # level 0: 8.4 MB > budget
+
+
+def test_k3_map_bits_degenerate_inputs():
+    """All-invalid masks and a single voxel at the origin: the bits map
+    must be all-miss / match the dense lookup (no garbage ranks from the
+    zeroed prefix tables)."""
+    from situation3d_tpu.ops.pallas.map_bits import (build_level_bits,
+                                                     k3_map_lookup_bits)
+    from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                   kernel_offsets,
+                                                   lookup_kernel_map_dense)
+    k3 = jnp.asarray(kernel_offsets(3))
+    extent, cells, V = (64, 64, 64), (32, 32, 32), 64
+    c0 = jnp.zeros((V, 3), jnp.int32)
+    m0 = jnp.zeros((V,), bool)
+    bits, pfx = build_level_bits(c0, m0, 2, extent)
+    got = k3_map_lookup_bits(bits[None], pfx[None], (c0 // 2)[None],
+                             m0[None], cells, V, interpret=True)[0]
+    assert (np.asarray(got) == V).all()
+
+    m1 = m0.at[0].set(True)
+    grid, _ = build_level_grid(c0, m1, 2, extent)
+    want = lookup_kernel_map_dense(grid, V, c0, m1, k3, 2, 2, extent)
+    bits, pfx = build_level_bits(c0, m1, 2, extent)
+    got = k3_map_lookup_bits(bits[None], pfx[None], (c0 // 2)[None],
+                             m1[None], cells, V, interpret=True)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
