@@ -167,11 +167,13 @@ def conv_gather_counts(cfg):
     # level, k2 down maps (derived for free from the downsample scatter
     # when dense_downsample is on).
     map_rows = zwin_scatter_rows if cfg.sparse.conv0_zwin else caps[0] * 125
-    pm = getattr(cfg.sparse, "pallas_map", False)
+    # mirror the runtime gating (minkunet.build_unet_plan): both Pallas map
+    # paths exist only inside the dense_lookup branch
+    pm = getattr(cfg.sparse, "pallas_map", False) and cfg.sparse.dense_lookup
     if pm:
         from situation3d_tpu.ops.pallas.map_lookup import map_lookup_fits
     pb = (getattr(cfg.sparse, "pallas_map_bits", False)
-          and cfg.sparse.dense_downsample)
+          and cfg.sparse.dense_downsample and cfg.sparse.dense_lookup)
     if pb:
         from situation3d_tpu.ops.pallas.map_bits import map_bits_fits
     for lvl in range(1, 5):

@@ -159,31 +159,182 @@ def cider(preds: Dict[str, str], golds: Dict[str, List[str]],
 
 
 # ---------------------------------------------------------------------------
-# METEOR (exact-match variant)
+# Porter stemmer (Porter 1980, "An algorithm for suffix stripping") —
+# self-contained, no nltk/WordNet data (unavailable offline)
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """m = number of VC sequences in [C](VC)^m[V]."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(w)):
+        cons = _is_cons(w, i)
+        if prev_vowel and cons:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _is_cons(w, i) for i in range(len(w)))
+
+
+def _double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    """*o condition: stem ends cvc where the final c is not w, x or y."""
+    return (len(w) >= 3 and _is_cons(w, len(w) - 3)
+            and not _is_cons(w, len(w) - 2) and _is_cons(w, len(w) - 1)
+            and w[-1] not in "wxy")
+
+
+_STEP2 = (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+          ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+          ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+          ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+          ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+          ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+          ("biliti", "ble"))
+_STEP3 = (("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", ""))
+_STEP4 = ("al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+          "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+
+
+def porter_stem(word: str) -> str:
+    """Classic Porter stemmer. Verified against the published examples
+    (tests/test_scorers_threedvqa.py)."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses") or w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("s") and not w.endswith("ss"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        hit = None
+        for suf in ("ed", "ing"):
+            if w.endswith(suf) and _has_vowel(w[: -len(suf)]):
+                hit = w[: -len(suf)]
+                break
+        if hit is not None:
+            w = hit
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 1:
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" \
+                and _measure(w[:-3]) > 1:
+            w = w[:-3]
+
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+
+    # step 5b
+    if _measure(w) > 1 and _double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# METEOR — exact + Porter-stem alignment stages with the fragmentation
+# penalty (Banerjee & Lavie 2005). The reference shells out to the
+# pycocoevalcap METEOR 1.5 jar, whose WordNet synonym stage and trained
+# parameters are unavailable offline — labeled METEOR(stem), a documented
+# deviation (exact + stem stages cover the bulk of the jar's alignments).
 # ---------------------------------------------------------------------------
 
 def meteor(preds: Dict[str, str], golds: Dict[str, List[str]],
            alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
+    def align(pt: List[str], gt: List[str]) -> List[Tuple[int, int]]:
+        """Stage-wise alignment: exact matches first, Porter-stem matches
+        over the remainder. Within a stage, each pred word prefers the
+        gold position adjacent to its left neighbor's match (fewer chunks
+        — the jar resolves ties the same way via beam search), else the
+        leftmost unused candidate."""
+        used = [False] * len(gt)
+        match: Dict[int, int] = {}
+        for key in (lambda t: t, porter_stem):
+            gkeys = [key(g) for g in gt]
+            for i, w in enumerate(pt):
+                if i in match:
+                    continue
+                wk = key(w)
+                cands = [j for j in range(len(gt))
+                         if not used[j] and gkeys[j] == wk]
+                if not cands:
+                    continue
+                prev = match.get(i - 1)
+                j = next((c for c in cands
+                          if prev is not None and c == prev + 1), cands[0])
+                used[j] = True
+                match[i] = j
+        return sorted(match.items())
+
     def single(pt: List[str], gt: List[str]) -> float:
         if not pt or not gt:
             return 0.0
-        # greedy alignment on exact matches
-        used = [False] * len(gt)
-        align = []
-        for i, w in enumerate(pt):
-            for j, g in enumerate(gt):
-                if not used[j] and w == g:
-                    used[j] = True
-                    align.append((i, j))
-                    break
-        m = len(align)
+        pairs = align(pt, gt)
+        m = len(pairs)
         if m == 0:
             return 0.0
         prec, rec = m / len(pt), m / len(gt)
         f = prec * rec / (alpha * prec + (1 - alpha) * rec)
-        # chunks: contiguous in both
+        # chunks: maximal runs contiguous in both sentences
         chunks = 1
-        for (i1, j1), (i2, j2) in zip(align, align[1:]):
+        for (i1, j1), (i2, j2) in zip(pairs, pairs[1:]):
             if not (i2 == i1 + 1 and j2 == j1 + 1):
                 chunks += 1
         frag = chunks / m
@@ -204,10 +355,16 @@ def score_all(preds: Dict[str, str], golds: Dict[str, List[str]]
     return {
         "EM": exact_match(preds, golds),
         "BLEU-1": b[0], "BLEU-2": b[1], "BLEU-3": b[2], "BLEU-4": b[3],
-        # exact-token alignment, NOT pycocoevalcap METEOR (no stem/synonym/
-        # paraphrase stages) — labeled so reports are not misread as
+        # exact + Porter-stem alignment, NOT the pycocoevalcap METEOR jar
+        # (its WordNet synonym stage and trained parameters need offline-
+        # unavailable data) — labeled so reports are not misread as
         # comparable to the reference's pycoco numbers
-        "METEOR(exact)": meteor(preds, golds),
+        "METEOR(stem)": meteor(preds, golds),
         "ROUGE-L": rouge_l(preds, golds),
         "CIDEr": cider(preds, golds),
+        # SPICE (calculate_score_3dllm.py:23,279 appends (Spice(),"SPICE"))
+        # requires the Stanford scene-graph parser — a Java toolchain +
+        # model download that cannot exist in this zero-egress environment.
+        # Reported as an explicit null, never a silent omission.
+        "SPICE": None,
     }

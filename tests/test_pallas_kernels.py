@@ -287,9 +287,11 @@ def test_map_bits_fits_level1():
 
 
 def test_k3_map_bits_degenerate_inputs():
-    """All-invalid masks and a single voxel at the origin: the bits map
-    must be all-miss / match the dense lookup (no garbage ranks from the
-    zeroed prefix tables)."""
+    """Degenerate inputs: (a) all-invalid mask -> all-miss output; (b) a
+    single voxel at the origin and (c) isolated voxels whose 26 k3
+    neighbors are all EMPTY cells — (c) is the case where misses must be
+    computed from zero occupancy bits at real lookups (in (a) the output
+    mask alone forces the sentinel)."""
     from situation3d_tpu.ops.pallas.map_bits import (build_level_bits,
                                                      k3_map_lookup_bits)
     from situation3d_tpu.sparse.kernel_map import (build_level_grid,
@@ -311,3 +313,17 @@ def test_k3_map_bits_degenerate_inputs():
     got = k3_map_lookup_bits(bits[None], pfx[None], (c0 // 2)[None],
                              m1[None], cells, V, interpret=True)[0]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # isolated occupied cells: every non-center neighbor is an EMPTY cell,
+    # so the 26 misses per voxel come from zero bits at real lookups
+    c2 = c0.at[0].set(jnp.asarray([10, 10, 10]))     # raw units, stride 2
+    c2 = c2.at[1].set(jnp.asarray([40, 42, 20]))
+    m2 = m0.at[0].set(True).at[1].set(True)
+    grid, _ = build_level_grid(c2, m2, 2, extent)
+    want = lookup_kernel_map_dense(grid, V, c2, m2, k3, 2, 2, extent)
+    bits, pfx = build_level_bits(c2, m2, 2, extent)
+    got = k3_map_lookup_bits(bits[None], pfx[None], (c2 // 2)[None],
+                             m2[None], cells, V, interpret=True)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # each isolated voxel: exactly one hit (itself), 26 misses
+    assert (np.asarray(got)[:2] == V).sum() == 52

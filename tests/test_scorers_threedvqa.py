@@ -41,6 +41,61 @@ def test_rouge_meteor_cider_sane():
     assert cider(same, golds) > c
 
 
+def test_porter_stemmer_published_examples():
+    """Full-pipeline outputs for the Porter-1980 paper examples (values
+    match nltk's PorterStemmer in ORIGINAL_ALGORITHM mode)."""
+    from situation3d_tpu.eval.scorers import porter_stem
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "running": "run",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "failing": "fail", "happy": "happi",
+        "sky": "sky", "generalization": "gener", "oscillators": "oscil",
+        "conditional": "condit", "rational": "ration",
+        "adjustable": "adjust", "adoption": "adopt", "formative": "form",
+        "electrical": "electr", "hopefulness": "hope", "roll": "roll",
+        "controlled": "control", "chairs": "chair", "tables": "tabl",
+    }
+    for word, want in vectors.items():
+        assert porter_stem(word) == want, (word, porter_stem(word), want)
+
+
+def test_meteor_stem_alignment_hand_computed():
+    """METEOR with exact+stem stages: pred 'the cats are running' vs gold
+    'the cat runs quickly' — exact match {the}, stem matches {cats~cat,
+    running~runs}; m=3, P=R=3/4, F=0.75, 2 chunks, frag penalty
+    0.5*(2/3)^3 -> score 0.75 * 23/27."""
+    preds = {"a": "the cats are running"}
+    golds = {"a": ["the cat runs quickly"]}
+    want = 0.75 * (1 - 0.5 * (2 / 3) ** 3)
+    assert abs(meteor(preds, golds) - want) < 1e-9
+    # exact-identical sentence: perfect alignment, one chunk
+    same = {"a": "the cat runs quickly"}
+    want_same = 1.0 * (1 - 0.5 * (1 / 4) ** 3)
+    assert abs(meteor(same, golds) - want_same) < 1e-9
+    # stems must not create false matches
+    miss = {"a": "blue window"}
+    assert meteor(miss, golds) == 0.0
+
+
+def test_score_all_full_reference_schema():
+    """score_all emits the reference's published-score schema
+    (calculate_score_sqa3d.py:268-305): BLEU1-4, METEOR (stem-labeled),
+    ROUGE-L, CIDEr, and an explicit SPICE null (the Java scene-graph
+    parser cannot exist offline — documented, not silent)."""
+    preds = {"a": "chair"}
+    golds = {"a": ["chair"]}
+    out = score_all(preds, golds)
+    for k in ("EM", "BLEU-1", "BLEU-2", "BLEU-3", "BLEU-4", "METEOR(stem)",
+              "ROUGE-L", "CIDEr", "SPICE"):
+        assert k in out
+    assert out["SPICE"] is None
+    # single-word perfect match: chunks/m = 1 -> penalty gamma*1^beta = 0.5
+    # (the real METEOR jar scores this 0.5 too)
+    assert out["METEOR(stem)"] == 0.5
+
+
 def test_clean_answer_and_buckets():
     assert clean_answer("<pad> chair</s>") == "chair"
     assert bucket_of("What color is it") == "What"
