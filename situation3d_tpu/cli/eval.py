@@ -266,13 +266,28 @@ def main(argv=None) -> None:
                 jax.tree_util.tree_map(np.asarray, batch),
                 jax.random.PRNGKey(0))
             aux = np.asarray(keep["aux_scores"])
+            # image logging into the metric stream (the reference's wandb
+            # OffscreenRenderer images, visualization.py:77-244) — PNGs
+            # always land under the output dir; wandb/tb when configured
+            from situation3d_tpu.train.logging import MetricWriter
+            writer = MetricWriter(args.output, cfg.log.use_wandb,
+                                  cfg.log.use_tensorboard, cfg.log.project)
             for i in range(min(4, len(aux))):
-                pts = np.asarray(batch["voxel_coords"][i], np.float32) \
+                m = np.asarray(batch["voxel_mask"][i]).astype(bool)
+                pts = np.asarray(batch["voxel_coords"][i], np.float32)[m] \
                     * cfg.data.voxel_size
                 export_scene_visualization(
                     args.output, f"scene{i}", pts,
                     gt_pose=np.asarray(batch["auxiliary_task"][i]),
                     pred_pose=aux[i] if aux.ndim == 2 else None)
+                from situation3d_tpu.eval.visualization import render_topdown
+                writer.write_image(
+                    f"eval/scene{i}",
+                    render_topdown(
+                        pts, gt_pose=np.asarray(batch["auxiliary_task"][i]),
+                        pred_pose=aux[i] if aux.ndim == 2 else None),
+                    step=int(trainer.state.step))
+            writer.close()
             logger.info("visualizations written to %s", args.output)
         if args.segmentation:
             import numpy as np

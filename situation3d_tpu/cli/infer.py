@@ -36,9 +36,44 @@ def parse_args(argv=None):
                    help="trainable-only .npz (blip2 trainer best-model dump)")
     p.add_argument("--torch-checkpoint", default=None,
                    help="reference-format torch .pth checkpoint")
+    p.add_argument("--visualize", action="store_true",
+                   help="t-SNE scene-feature embedding render "
+                        "(3DLLM_BLIP2-base/inference.py:80-104)")
+    p.add_argument("--visualize-out", default="outputs/tsne_pc.png")
+    p.add_argument("--visualize-points", type=int, default=2000,
+                   help="points subsampled into the t-SNE (the reference "
+                        "uses 10000; exact t-SNE on this 1-core host is "
+                        "quadratic, so default smaller)")
     p.add_argument("--answer-vocab", default=None,
                    help="answer_vocab.json from the sqa3d train run")
     return p.parse_args(argv)
+
+
+def tsne_scene_render(feat: "np.ndarray", pc: "np.ndarray", out_path: str,
+                      n_points: int, logger) -> None:
+    """t-SNE embedding visualization of the scene features
+    (``3DLLM_BLIP2-base/inference.py:80-104``): subsample points, embed the
+    1408-d features to 3-d with t-SNE, normalize to [0, 1] RGB, and render
+    the colored point cloud (top-down software splat instead of the
+    reference's matplotlib 3-d scatter — same artifact class, a PNG)."""
+    import os
+
+    from sklearn.manifold import TSNE
+
+    from situation3d_tpu.eval.visualization import render_topdown, write_png
+
+    feat = np.asarray(feat, np.float32).reshape(-1, feat.shape[-1])
+    pc = np.asarray(pc, np.float32).reshape(-1, 3)
+    rng = np.random.RandomState(0)
+    idx = rng.choice(feat.shape[0], min(n_points, feat.shape[0]),
+                     replace=False)
+    emb = TSNE(n_components=3, random_state=0, learning_rate=200.0,
+               init="random").fit_transform(feat[idx])
+    emb = (emb - emb.min()) / (emb.max() - emb.min() + 1e-6)
+    img = render_topdown(pc[idx], (emb * 255).astype(np.uint8), splat=2)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    write_png(out_path, img)
+    logger.info("t-SNE scene render written to %s", out_path)
 
 
 def main(argv=None) -> None:
@@ -79,6 +114,9 @@ def main(argv=None) -> None:
                                  max_len=cfg.blip2.t5.max_answer_len)
         print("Q:", clean_question(args.question))
         print("A:", ds.text.decode(np.asarray(tokens)[0]))
+        if args.visualize:
+            tsne_scene_render(feat, pc, args.visualize_out,
+                              args.visualize_points, logger)
     else:
         from situation3d_tpu.data.sqa3d import SQA3DDataset, load_scene
         from situation3d_tpu.data.vocab import AnswerVocab

@@ -102,11 +102,20 @@ class SparseConfig:
     # 12 contiguous 256 B window rows/voxel replace 27 64 B rows/voxel in
     # the XLA small-row regime, and the level-1 k3 kernel map + level-1
     # grid build drop out of the plan entirely (DCE). Requires dense_lookup.
-    # OFF: chip-measured end-to-end LOSS (v5e B=8, headline 11.82 -> 10.56
-    # samples/s) — unlike conv0, the per-conv dense-grid scatter+memset is
-    # paid 4x per sample while the map it deletes was shared by all 4 convs.
-    # Kept as a measured option for hardware with faster memset/scatter.
-    zwin_level1: bool = False
+    # True: per-conv form — chip-measured end-to-end LOSS (v5e B=8,
+    # headline 11.82 -> 10.56 samples/s): unlike conv0, the per-conv
+    # dense-grid scatter+memset is paid 4x per sample while the map it
+    # deletes was shared by all 4 convs (DESIGN.md §10). Kept as a
+    # measured option for hardware with faster memset/scatter.
+    # "shared": whole-ResLayer form (conv.py zwin_res_layer_shared) — ONE
+    # grid memset per sample, row-granular clear+add between convs,
+    # hoisted index math; eval forwards only (training falls back to the
+    # kernel-map path for whole-batch BN statistics). ALSO a chip-measured
+    # LOSS (r4 interleaved A/B, B=8: 13.33 -> 10.50, b/a 0.788): with the
+    # pallas_map_bits maps already off the gather engine there is no map
+    # cost left to delete, and the z-window reads 3 KB/voxel vs the XLA
+    # path's 1.7 KB on a bytes-bound engine (DESIGN.md §10).
+    zwin_level1: Any = False
     # k3 kernel-map builds as a Pallas kernel on a VMEM-resident z-packed
     # level grid (ops/pallas/map_lookup.py): 27 elementwise XLA grid
     # gathers (~65 M single-int32 rows/s, the dominant residual plan cost)

@@ -119,14 +119,110 @@ def activation_colors(values: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+def write_png(path: str, img: np.ndarray) -> None:
+    """Minimal PNG writer (8-bit RGB, stdlib zlib only — no PIL/open3d)."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    hdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    with open(path, "wb") as fh:
+        fh.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", hdr)
+                 + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def render_topdown(points: np.ndarray,
+                   colors: Optional[np.ndarray] = None,
+                   gt_pose: Optional[np.ndarray] = None,
+                   pred_pose: Optional[np.ndarray] = None,
+                   resolution: int = 512,
+                   splat: int = 1,
+                   arrow_length: float = 0.6) -> np.ndarray:
+    """Software top-down point-splat render — the offline stand-in for the
+    reference's open3d ``OffscreenRenderer`` image logging
+    (``situation3d/eval/eval.py:247-314``, ``visualization.py:77-244``;
+    open3d is unavailable here).
+
+    Orthographic xy projection, painter's order by z (highest wins), each
+    point splatted as a (2*splat+1)^2 square; GT situation arrow drawn
+    green, predicted red (poses ``[x, y, z, qx, qy, qz, qw]``, facing =
+    quaternion-rotated +x like ``situation_arrows_obj``).
+
+    Returns uint8 [resolution, resolution, 3]."""
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    img = np.zeros((resolution, resolution, 3), np.uint8)
+    if len(pts) == 0:
+        return img
+    lo = pts[:, :2].min(axis=0)
+    hi = pts[:, :2].max(axis=0)
+    span = max(float((hi - lo).max()), 1e-6)
+    scale = (resolution - 1 - 2 * (splat + 1)) / span
+    off = splat + 1
+
+    def to_px(xy):
+        px = np.clip((xy - lo) * scale + off, 0, resolution - 1)
+        return px.astype(np.int64)
+
+    if colors is None:
+        colors = activation_colors(pts[:, 2])  # height colormap
+    colors = np.asarray(colors, np.uint8).reshape(-1, 3)
+    order = np.argsort(pts[:, 2], kind="stable")  # later (higher) wins
+    px = to_px(pts[order, :2])
+    c = colors[order]
+    for dy in range(-splat, splat + 1):
+        for dx in range(-splat, splat + 1):
+            yy = np.clip(px[:, 1] + dy, 0, resolution - 1)
+            xx = np.clip(px[:, 0] + dx, 0, resolution - 1)
+            img[resolution - 1 - yy, xx] = c
+
+    def draw_arrow(pose, rgb):
+        from scipy.spatial.transform import Rotation as R
+        pose = np.asarray(pose, np.float64)
+        facing = R.from_quat(pose[3:7]).apply([1.0, 0, 0])[:2]
+        n = np.linalg.norm(facing)
+        if n < 1e-9:
+            return
+        facing = facing / n
+        tip = pose[:2] + facing * arrow_length
+        left = tip - 0.25 * arrow_length * (
+            facing + np.array([-facing[1], facing[0]]))
+        right = tip - 0.25 * arrow_length * (
+            facing - np.array([-facing[1], facing[0]]))
+        for a, b in ((pose[:2], tip), (tip, left), (tip, right)):
+            t = np.linspace(0.0, 1.0, 200)[:, None]
+            seg = to_px(a[None] * (1 - t) + b[None] * t)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy = np.clip(seg[:, 1] + dy, 0, resolution - 1)
+                    xx = np.clip(seg[:, 0] + dx, 0, resolution - 1)
+                    img[resolution - 1 - yy, xx] = rgb
+
+    if gt_pose is not None:
+        draw_arrow(gt_pose, (0, 255, 0))
+    if pred_pose is not None:
+        draw_arrow(pred_pose, (255, 0, 0))
+    return img
+
+
 def export_scene_visualization(out_dir: str, tag: str, points: np.ndarray,
                                attention: Optional[np.ndarray] = None,
                                gt_pose: Optional[np.ndarray] = None,
                                pred_pose: Optional[np.ndarray] = None) -> None:
-    """visualize_scene_test analogue: attention-colored cloud + arrows."""
+    """visualize_scene_test analogue: attention-colored cloud + arrows as
+    PLY/OBJ geometry PLUS a rendered top-down PNG image artifact (the
+    reference logs OffscreenRenderer images; eval.py:302-314)."""
     os.makedirs(out_dir, exist_ok=True)
     colors = activation_colors(attention) if attention is not None else None
     write_ply_points(os.path.join(out_dir, f"{tag}_points.ply"), points, colors)
     if gt_pose is not None:
         situation_arrows_obj(os.path.join(out_dir, f"{tag}_situation.obj"),
                              gt_pose, pred_pose)
+    img = render_topdown(points, colors, gt_pose, pred_pose)
+    write_png(os.path.join(out_dir, f"{tag}_render.png"), img)

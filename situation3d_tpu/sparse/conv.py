@@ -596,6 +596,164 @@ def sparse_conv_k3_zwin(
     return out.reshape(B, V, C_out)
 
 
+def zwin_res_layer_shared(
+    feats: jnp.ndarray,
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    blocks,
+    extent,
+    stride: int,
+    eps: float = 1e-5,
+    precision=None,
+    batch_chunk: int = 2,
+) -> jnp.ndarray:
+    """A whole same-stride C32 ResLayer (conv3-bn-relu-conv3-bn + skip,
+    xN blocks) on the z-window formulation with ONE shared dense grid.
+
+    The round-3 per-conv z-window at level 1 (:func:`sparse_conv_k3_zwin`)
+    measured an end-to-end LOSS (DESIGN.md §10): the ~554 MB/sample grid
+    memset was paid once per conv — 4x/sample — and the per-conv row/phase
+    index math repeated 4x. But the 4 level-1 convs share identical
+    coordinates, hence identical grid rows and lane slots, so:
+
+    1. the grid is ALLOCATED AND ZEROED ONCE per sample (the dominant §10(a)
+       cost), then threaded through the convs;
+    2. between convs, the previous features are cleared with one
+       row-granular ``.set(0)`` scatter and the new features written with
+       one ``.at[].add`` — two 6 MB row scatters instead of a 554 MB memset.
+       Clear-then-add over identical row targets makes each conv's grid
+       bit-identical to a fresh ``zeros().at[].add``, so outputs are
+       bit-exact vs the per-conv path (tested);
+    3. the row / lane-slot / window-row / phase index math (loop-invariant
+       across the convs, ``sparse/conv.py:547-581`` in the per-conv form)
+       is hoisted and computed once.
+
+    BatchNorm runs in EVAL form (running statistics — per-voxel affine, so
+    it chunks with the batch); the caller routes training forwards to the
+    kernel-map path, where batch statistics need the whole batch.
+
+    Args:
+      feats: [B, V, 32] level features (padding rows zero).
+      coords: int32 [B, V, 3] raw units (multiples of ``stride``).
+      mask: bool [B, V].
+      blocks: sequence over ResLayer blocks of
+        ``(kernel1, (scale1, bias1, mean1, var1), kernel2, (...2))`` with
+        kernels [27, 32, C_out=32] in kernel_offsets(3) order.
+      extent: static raw-unit grid bound; stride: the level's tensor stride.
+    Returns [B, V, 32] — the ResLayer output features.
+    """
+    B, V, C_in = feats.shape
+    assert C_in == 32, "z-window k3 conv packs 4 voxels per 128-lane row"
+    for k1, _, k2, _ in blocks:
+        assert k1.shape == (27, C_in, C_in) and k2.shape == (27, C_in, C_in)
+    dtype = feats.dtype
+    C_out = C_in
+    CX, CY, CZ = (e // stride for e in extent)
+    XP = CX + 2
+    NYG = (CY - 1) // 2 + 2
+    ZC = (CZ - 1) // 2 + 2
+    n_rows = XP * ZC * NYG
+
+    c = coords // stride
+    in_extent = mask & jnp.all(c >= 0, axis=-1) \
+        & (c[..., 0] < CX) & (c[..., 1] < CY) & (c[..., 2] < CZ)
+
+    p_idx, m_idx, t_idx = _zwin_k3_phase_maps(C_in)
+
+    def phase_mat(kernel):
+        kf = kernel.reshape(27 * C_in, C_out).astype(dtype)
+        WP = jnp.zeros((4, 12 * 128, C_out), dtype)
+        WP = WP.at[p_idx, m_idx].set(jnp.take(kf, t_idx, axis=0))
+        return WP.transpose(1, 0, 2).reshape(12 * 128, 4 * C_out)
+
+    mats = [(phase_mat(k1), bn1, phase_mat(k2), bn2)
+            for k1, bn1, k2, bn2 in blocks]
+    dxs = np.arange(-1, 2, dtype=np.int32)
+
+    def one_chunk(args):
+        f, cc3, ext, msk = args                                  # [bc, ...]
+        bc = f.shape[0]
+        xp = cc3[..., 0] + 1
+        yp = cc3[..., 1] + 1
+        zp = cc3[..., 2] + 1
+        # hoisted (identical for every conv in the layer):
+        row = (xp * ZC + (zp >> 1)) * NYG + (yp >> 1)            # [bc, V]
+        row = jnp.where(ext, row, n_rows)                        # drop pads
+        slot = (yp & 1) * 2 + (zp & 1)                           # [bc, V]
+        c0 = (zp - 1) >> 1
+        g0 = (yp - 1) >> 1
+        r = ((xp[..., None, None, None] + dxs[None, None, :, None, None])
+             * ZC + c0[..., None, None, None]
+             + jnp.arange(2, dtype=jnp.int32)[None, None, None, :, None]) \
+            * NYG + g0[..., None, None, None] \
+            + jnp.arange(2, dtype=jnp.int32)[None, None, None, None, :]
+        r = jnp.where(ext[..., None, None, None], r, 0)
+        ridx = r.reshape(bc, V * 12)[..., None]
+        phase = ((yp - 1) & 1) * 2 + ((zp - 1) & 1)
+        oh = jax.nn.one_hot(phase, 4, dtype=dtype)
+        bidx = jnp.arange(bc)[:, None]
+
+        def pack(fv):
+            # lane slot*32 placement via 4 static pads (see
+            # sparse_conv_k3_zwin — avoids a lane-padded [.., 4, 32] minor)
+            fz = jnp.where(ext[..., None], fv, 0)
+            f128 = jnp.zeros((bc, V, 128), dtype)
+            for s in range(4):
+                fs = jnp.pad(fz, ((0, 0), (0, 0), (32 * s, 96 - 32 * s)))
+                f128 = jnp.where((slot == s)[..., None], fs, f128)
+            return f128
+
+        def conv(grid, fv, WPmat, first):
+            f128 = pack(fv)
+            if not first:
+                # row-granular clear of the previous conv's rows: identical
+                # row targets, so the grid after clear+add is bit-identical
+                # to a fresh zeros+add — without the full-grid memset
+                grid = grid.at[bidx, row].set(
+                    jnp.zeros_like(f128), mode="drop")
+            grid = grid.at[bidx, row].add(f128, mode="drop")
+            win = jnp.take_along_axis(grid, ridx, axis=1)        # [bc,V*12,128]
+            out_all = jnp.einsum(
+                "bvm,mq->bvq", win.reshape(bc, V, 12 * 128), WPmat,
+                preferred_element_type=jnp.float32,
+                precision=precision).astype(dtype)               # [bc,V,4*C]
+            out = jnp.einsum("bvpo,bvp->bvo",
+                             out_all.reshape(bc, V, 4, C_out), oh,
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+            out = jnp.where(ext[..., None], out, 0).astype(dtype)
+            # SparseConv.__call__'s output masking (x.mask, not in_extent)
+            return grid, jnp.where(msk[..., None], out, 0)
+
+        def bn_eval(fv, bn):
+            scale, bias, mean, var = bn
+            inv = jax.lax.rsqrt(var + eps) * scale
+            out = (fv.astype(jnp.float32) - mean) * inv + bias
+            return jnp.where(msk[..., None], out, 0).astype(dtype)
+
+        h = f
+        grid = jnp.zeros((bc, n_rows, 128), dtype)
+        first = True
+        for k1m, bn1, k2m, bn2 in mats:
+            residual = h
+            grid, o = conv(grid, h, k1m, first)
+            first = False
+            h = jnp.maximum(bn_eval(o, bn1), 0)
+            grid, o = conv(grid, h, k2m, False)
+            h = jnp.maximum(bn_eval(o, bn2) + residual, 0)
+        return h
+
+    bc = batch_chunk if B % batch_chunk == 0 else 1
+    if bc == B:
+        return one_chunk((feats, c, in_extent, mask))
+    out = jax.lax.map(one_chunk, (
+        feats.reshape(B // bc, bc, V, C_in),
+        c.reshape(B // bc, bc, V, 3),
+        in_extent.reshape(B // bc, bc, V),
+        mask.reshape(B // bc, bc, V)))
+    return out.reshape(B, V, C_out)
+
+
 def sparse_conv_dense_grid(
     feats: jnp.ndarray,
     coords: jnp.ndarray,

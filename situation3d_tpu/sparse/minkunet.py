@@ -261,6 +261,52 @@ class BasicBlock(nn.Module):
         return sparse_relu(out.replace(feats=out.feats + residual.feats))
 
 
+class _ZwinConvParams(nn.Module):
+    """Declares a SparseConv-identical kernel param (same name, shape,
+    initializer) without running the gather-map conv — the z-window shared
+    layer consumes the raw kernels (:func:`zwin_res_layer_shared`)."""
+    out_channels: int
+    kernel_volume: int = 27
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        return self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
+            (self.kernel_volume, c_in, self.out_channels), jnp.float32)
+
+
+class _ZwinBNParams(nn.Module):
+    """Declares SparseBatchNorm's params + batch_stats (same names and
+    collections) and returns the eval-form constants."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class _ZwinBlockParams(nn.Module):
+    """BasicBlock-identical param tree (conv1/norm1/conv2/norm2) for the
+    shared-grid z-window path. Only valid when in_channels == planes (no
+    downsample projection — true for the level-1 C32 class)."""
+    planes: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        assert c_in == self.planes, "zwin shared layer has no downsample path"
+        k1 = _ZwinConvParams(self.planes, name="conv1")(c_in)
+        bn1 = _ZwinBNParams(name="norm1")(self.planes)
+        k2 = _ZwinConvParams(self.planes, name="conv2")(self.planes)
+        bn2 = _ZwinBNParams(name="norm2")(self.planes)
+        return k1, bn1, k2, bn2
+
+
 class ResLayer(nn.Module):
     planes: int
     num_blocks: int
@@ -268,9 +314,25 @@ class ResLayer(nn.Module):
     dense_grid_extent: tuple = None
     pallas_gather: Any = False
     zwin_extent: tuple = None
+    # whole-layer z-window with ONE shared dense grid across all convs
+    # (zwin_res_layer_shared; eval only — BN batch statistics need the
+    # whole batch, the shared grid chunks it). Param/batch_stats tree is
+    # identical to the BasicBlock path (checkpoint-interchangeable).
+    zwin_shared: bool = False
 
     @nn.compact
     def __call__(self, x, nbr_idx, train, momentum=None):
+        if self.zwin_shared:
+            from situation3d_tpu.sparse.conv import zwin_res_layer_shared
+            assert self.zwin_extent is not None and not train
+            blocks = [
+                _ZwinBlockParams(self.planes, name=f"block{i}")(x.num_channels)
+                for i in range(self.num_blocks)
+            ]
+            out = zwin_res_layer_shared(
+                x.feats.astype(self.dtype), x.coords, x.mask, blocks,
+                tuple(self.zwin_extent), x.stride)
+            return x.replace(feats=out)
         for i in range(self.num_blocks):
             x = BasicBlock(self.planes, dtype=self.dtype,
                            dense_grid_extent=self.dense_grid_extent,
@@ -338,12 +400,19 @@ class MinkUNet(nn.Module):
         h = sparse_relu(bn("bn1", h))
         # level-1 z-window path (C32): the ResLayer never touches
         # L[1]["map_k3"], whose construction (the largest remaining k3 map,
-        # 27 x 24576 grid gathers) and the level-1 grid build XLA then DCEs
-        zwin1 = (tuple(cfg.grid_extent)
-                 if getattr(cfg, "zwin_level1", False) and cfg.dense_lookup
-                 else None)
+        # 27 x 24576 grid gathers) and the level-1 grid build XLA then DCEs.
+        # zwin_level1 values: False (kernel-map path) | True (per-conv
+        # z-window — chip-measured loss, DESIGN.md §10) | "shared" (whole
+        # layer on ONE shared grid, eval forwards only — training forwards
+        # fall back to the kernel-map path for whole-batch BN statistics).
+        zl1 = getattr(cfg, "zwin_level1", False)
+        zl1 = zl1 if (zl1 and cfg.dense_lookup) else False
+        zwin1 = tuple(cfg.grid_extent) if zl1 else None
+        zshared = zl1 == "shared" and not train
         h = ResLayer(cfg.planes[0], cfg.layers[0], dt, dense_ext(2), pg,
-                     zwin_extent=zwin1, name="block1")(
+                     zwin_extent=None if (zl1 == "shared" and not zshared)
+                     else zwin1,
+                     zwin_shared=zshared, name="block1")(
             h, L[1]["map_k3"], train, momentum)
         out_b1p2 = h
 

@@ -65,6 +65,51 @@ def test_visualization_export(tmp_path, rng):
     assert "element vertex 50" in ply and "uchar red" in ply
     colors = activation_colors(att)
     assert colors.shape == (50, 3) and colors.dtype == np.uint8
+    # rendered image artifact (the reference's OffscreenRenderer analogue)
+    assert os.path.exists(tmp_path / "scene0_render.png")
+
+
+def test_render_topdown_and_png(tmp_path, rng):
+    """Software point-splat render: splats land where points project,
+    arrows overlay, PNG round-trips through a real decoder."""
+    import zlib
+
+    from situation3d_tpu.eval.visualization import render_topdown, write_png
+
+    pts = np.array([[0.0, 0.0, 0.0], [4.0, 4.0, 1.0]], np.float32)
+    colors = np.array([[255, 0, 0], [0, 0, 255]], np.uint8)
+    img = render_topdown(pts, colors, resolution=64,
+                         gt_pose=np.array([2, 2, 0, 0, 0, 0, 1.0]))
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    # red splat bottom-left, blue top-right (y axis points up in the image)
+    assert (img[-5:, :5] == (255, 0, 0)).all(axis=-1).any()
+    assert (img[:5, -5:] == (0, 0, 255)).all(axis=-1).any()
+    # green GT arrow pixels exist
+    assert (img == (0, 255, 0)).all(axis=-1).any()
+    # painter's order: higher z wins on overlap
+    over = render_topdown(np.array([[0, 0, 0.0], [0, 0, 1.0]], np.float32),
+                          colors, resolution=16, splat=0)
+    assert (over == (0, 0, 255)).all(axis=-1).any()
+    assert not (over == (255, 0, 0)).all(axis=-1).any()
+
+    p = tmp_path / "img.png"
+    write_png(str(p), img)
+    raw = p.read_bytes()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode the IDAT scanlines and compare the pixel payload
+    idat = raw[raw.index(b"IDAT") + 4:raw.index(b"IEND") - 8]
+    rows = zlib.decompress(idat)
+    got = np.frombuffer(rows, np.uint8).reshape(64, 1 + 64 * 3)[:, 1:]
+    np.testing.assert_array_equal(got.reshape(64, 64, 3), img)
+
+
+def test_metric_writer_image(tmp_path):
+    from situation3d_tpu.train.logging import MetricWriter
+    w = MetricWriter(str(tmp_path))
+    img = np.zeros((8, 8, 3), np.uint8)
+    w.write_image("eval/scene0", img, step=3)
+    w.close()
+    assert os.path.exists(tmp_path / "images" / "eval_scene0_3.png")
 
 
 def test_projection_roundtrip(rng):

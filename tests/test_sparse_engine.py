@@ -701,6 +701,54 @@ def test_minkunet_zwin_level1_path(rng):
             rtol=2e-4, atol=2e-4)
 
 
+def test_minkunet_zwin_level1_shared(rng):
+    """zwin_level1="shared" (whole level-1 ResLayer on ONE shared grid,
+    conv.py zwin_res_layer_shared): bit-exact vs the per-conv z-window
+    path (clear+add over identical rows == fresh zeros+add), allclose vs
+    the kernel-map path, identical param/batch_stats tree, and the
+    training forward (which falls back to the kernel-map path for
+    whole-batch BN) runs against the same variables."""
+    import dataclasses
+    base = SparseConfig(
+        planes=(32, 16, 32, 64, 32, 32, 24, 24),
+        layers=(2, 1, 1, 1, 1, 1, 1, 1),   # layers[0]=2: 4 level-1 convs
+        init_dim=32,
+        in_channels=3,
+        out_channels=16,
+        capacities=(256, 128, 64, 32, 16),
+        grid_extent=(64, 64, 64),
+    )
+    cfg_sh = dataclasses.replace(base, zwin_level1="shared")
+    cfg_pc = dataclasses.replace(base, zwin_level1=True)
+    coords, mask, feats = _unet_inputs(rng, base)
+    plan = jax.jit(lambda c, m: build_unet_plan(
+        c, m, base.capacities, True, base.grid_extent))(coords, mask)
+    x = SparseVoxels(coords=coords, feats=feats, mask=mask, stride=1)
+    m_sh = MinkUNet(cfg_sh, final_result=True)
+    m_pc = MinkUNet(cfg_pc, final_result=True)
+    m_off = MinkUNet(base, final_result=True)
+    with jax.default_matmul_precision("highest"):
+        vs = jax.jit(lambda p: m_sh.init(jax.random.PRNGKey(0), x, p,
+                                         train=False))(plan)
+        vs_off = jax.jit(lambda p: m_off.init(jax.random.PRNGKey(0), x, p,
+                                              train=False))(plan)
+        # identical param + batch_stats trees (checkpoint-interchangeable)
+        assert (jax.tree_util.tree_structure(vs)
+                == jax.tree_util.tree_structure(vs_off))
+        out_sh = jax.jit(lambda v, p: m_sh.apply(v, x, p, train=False))(vs, plan)
+        out_pc = jax.jit(lambda v, p: m_pc.apply(v, x, p, train=False))(vs, plan)
+        out_off = jax.jit(lambda v, p: m_off.apply(v, x, p, train=False))(vs, plan)
+        # training forward with the same variables (kernel-map fallback)
+        _ = jax.jit(lambda v, p: m_sh.apply(
+            v, x, p, train=True, mutable=["batch_stats"]))(vs, plan)
+    for key in ("feat_bottleneck", "openscene_out"):
+        np.testing.assert_array_equal(
+            np.asarray(out_sh[key].feats), np.asarray(out_pc[key].feats))
+        np.testing.assert_allclose(
+            np.asarray(out_sh[key].feats), np.asarray(out_off[key].feats),
+            rtol=2e-4, atol=2e-4)
+
+
 def test_minkunet_fused_conv_path(rng, tiny_unet):
     """UNet with the fused Pallas conv (interpret) matches the XLA-path
     UNet end-to-end, decoder included (exercises every K/C combination the
