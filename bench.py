@@ -25,8 +25,19 @@ remaining budget is checked against the section's worst-case cost and
 the section is skipped (recorded as "skipped_budget") rather than start
 a compile that can take 40+ min through the relay on a cold cache.
 
-"extra" sections, in order of value:
-- measured gather-engine rates (in-run roofline denominators),
+"extra" sections (deficit-aware rotation — VERDICT r3 #1): at startup the
+prior driver records (``BENCH_r*.json`` next to this file) are scanned for
+which sections have EVER been driver-captured with a value; never-captured
+sections run first (cheapest first, to maximize per-round coverage), and
+already-captured sections yield their slot.  With relay compiles uncached
+across processes and a ~900 s driver budget, roughly one or two ~150-300 s
+sections fit per round — the rotation guarantees every section lands in
+some driver JSON instead of blip2_decode re-running every round while
+train/serving/hostplan stay "skipped_budget" forever (the r3 record).
+
+Sections:
+- measured gather-engine rates (in-run roofline denominators; always
+  first — cheap, and every later roofline % re-anchors on it),
 - roofline % from those measured rates,
 - train-step samples/s (forward+loss+backward+adamw),
 - multi-question serving (scene-encoding reuse, ~6 q/scene),
@@ -95,6 +106,53 @@ def section(name: str, min_budget_s: float, fn, extra) -> None:
         extra[name + "_error"] = repr(e)[:200]
     extra.setdefault("section_secs", {})[name] = round(time.monotonic() - t0, 1)
     emit()
+
+
+# section name -> the extras key whose presence in a prior driver record
+# proves the section has been driver-captured (not builder-self-reported)
+SECTION_EVIDENCE = {
+    "gather_rates": ("measured_gather_gbps",),
+    "blip2_decode": ("blip2_decode_tokens_per_sec",),
+    "blip2_train": ("blip2_train_samples_per_sec",),
+    "train": ("train_samples_per_sec",
+              "train_samples_per_sec_reduced_depth_layers1111"),
+    "serving": ("serving_6q_per_scene_samples_per_sec",),
+    "b2": ("headline_b2_samples_per_sec",),
+    "hostplan": ("hostplan_samples_per_sec",),
+    "fps": ("fps_pallas_speedup",),
+}
+
+
+def driver_captured_sections(record_dir=None):
+    """Which sections have EVER appeared with a value in a driver-captured
+    ``BENCH_r*.json``?  (VERDICT r3 #1: the fixed section order meant 5 of
+    8 sections were skipped_budget three rounds running.)  Reads both the
+    driver's ``parsed`` field and every parseable JSON line of the raw
+    ``tail`` — the tail's last line is the most complete emit."""
+    import glob
+    record_dir = record_dir or os.path.dirname(os.path.abspath(__file__))
+    captured = set()
+    for path in sorted(glob.glob(os.path.join(record_dir, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except Exception:
+            continue
+        extras = {}
+        parsed = rec.get("parsed") or {}
+        if isinstance(parsed, dict):
+            extras.update(parsed.get("extra") or {})
+        for line in (rec.get("tail") or "").splitlines():
+            try:
+                obj = json.loads(line)
+                extras.update(obj.get("extra") or {})
+            except Exception:
+                continue
+        for name, keys in SECTION_EVIDENCE.items():
+            if any(isinstance(extras.get(k), (int, float, bool))
+                   for k in keys):
+                captured.add(name)
+    return captured
 
 
 def make_scene_batch(cfg, B, rng):
@@ -379,9 +437,29 @@ def main() -> None:
     try:
         # ---- headline: measure and PRINT IMMEDIATELY ---------------------
         model = SIG3D(cfg, num_answers=706, dtype=jnp.bfloat16)
-        variables = jax.jit(lambda b: model.init(
+        # Materialize random params from eval_shape instead of jit(init):
+        # jit(model.init) is a SECOND full-tower relay compile (~200+ s)
+        # whose output values cannot affect the timed fwd (the forward is
+        # data-independent in wall time); eval_shape traces on host and the
+        # materializer is a tiny RNG program. Frees budget for the
+        # never-captured sections (VERDICT r3 #1).
+        shapes = jax.eval_shape(lambda b: model.init(
             {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
-            b, train=False))(batch)
+            b, train=False), batch)
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+        def _materialize():
+            key0 = jax.random.PRNGKey(0)
+            outs = []
+            for i, s in enumerate(leaves):
+                if jnp.issubdtype(s.dtype, jnp.floating):
+                    outs.append(0.02 * jax.random.normal(
+                        jax.random.fold_in(key0, i), s.shape, s.dtype))
+                else:
+                    outs.append(jnp.zeros(s.shape, s.dtype))
+            return jax.tree_util.tree_unflatten(treedef, outs)
+
+        variables = jax.jit(_materialize)()
 
         fwd = jax.jit(lambda v, b, k: model.apply(
             v, b, train=False, rngs={"sample": k})["answer_scores"])
@@ -409,44 +487,59 @@ def main() -> None:
         if fast:
             return
 
-        # ---- in-run roofline denominators (cheap, tiny programs) ---------
+        # ---- in-run roofline denominators (cheap, tiny programs; always
+        # first — every later roofline % re-anchors on them) ---------------
         def _rates(extra):
             bench_gather_rates(extra)
             roofline(extra, cfg, scenes_per_sec)  # re-anchor on measured
         section("gather_rates", 60, _rates, extra)
 
-        # ---- Blip2T5 greedy decode (early: the one evidence class no
-        # driver record has ever captured — VERDICT r2 #4; relay compiles
-        # are uncached across processes, so whatever runs first after the
-        # headline is what a budget-bound driver run actually records) ----
-        if os.environ.get("BENCH_BLIP2", "1") == "1":
-            section("blip2_decode", 240, bench_blip2_decode, extra)
-            # the Blip2T5 train step comes right after decode: these two
-            # are the evidence class no driver record has ever captured;
-            # the SIG3D train/serving/hostplan sections below each cost
-            # 300-1200 s of relay compile on a cold cache and would
-            # starve them under the budget
-            section("blip2_train", 300, bench_blip2_train, extra)
-
         # ---- training step ----------------------------------------------
+        # Observed full-step relay compile is ~1200 s — it can never fit
+        # the 900 s budget after the headline. Per VERDICT r3 #1: when the
+        # remaining budget can't afford the full-depth step, bench a
+        # reduced-depth one (sparse.layers=[1,1,1,1] vs default) and say so
+        # in the key name; a driver-captured reduced-depth number beats a
+        # full-depth number that is builder-self-reported forever.
         def _train(extra):
-            from situation3d_tpu.train.trainer import (create_train_state,
+            from situation3d_tpu.train.trainer import (TrainState,
                                                        make_sig3d_optimizer,
                                                        make_train_step)
-            state = create_train_state(cfg, model, batch, steps_per_epoch=100)
-            tx, _ = make_sig3d_optimizer(cfg, state.params, 100)
-            step = make_train_step(cfg, model, tx, donate=False)
+            reduced = remaining() < 900
+            if reduced:
+                cfg_t = apply_overrides(
+                    Config(), ["data.num_answers=706",
+                               "sparse.layers=[1,1,1,1]", *opts])
+                model_t = SIG3D(cfg_t, num_answers=706, dtype=jnp.bfloat16)
+            else:
+                cfg_t, model_t = cfg, model
+            # materialize the train state from eval_shape (values don't
+            # affect step wall time; jit(init) is a second full compile)
+            v_shapes = jax.eval_shape(lambda b: model_t.init(
+                {"params": jax.random.PRNGKey(0),
+                 "sample": jax.random.PRNGKey(1)}, b, train=False), batch)
+            lv, td = jax.tree_util.tree_flatten(v_shapes)
+            v_t = jax.jit(lambda: jax.tree_util.tree_unflatten(td, [
+                0.02 * jax.random.normal(jax.random.fold_in(
+                    jax.random.PRNGKey(1), i), s.shape, s.dtype)
+                if jnp.issubdtype(s.dtype, jnp.floating)
+                else jnp.zeros(s.shape, s.dtype) for i, s in enumerate(lv)]))()
+            tx, _ = make_sig3d_optimizer(cfg_t, v_t["params"], 100)
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32), params=v_t["params"],
+                batch_stats=v_t.get("batch_stats", {}),
+                opt_state=jax.jit(tx.init)(v_t["params"]),
+                rng=jax.random.PRNGKey(0))
+            step = make_train_step(cfg_t, model_t, tx, donate=False)
 
             def run_step(s, b):
                 ns, metrics = step(s, b)
                 return metrics["loss"]
 
             dt_tr = time_fn(run_step, state, batch, iters=5)
-            extra["train_samples_per_sec"] = round(B / dt_tr, 3)
-        # min budgets from here on are the OBSERVED cold-compile section
-        # costs through the relay (CLAUDE.md): starting a section the
-        # budget can't afford would hang the whole record
-        section("train", 900, _train, extra)
+            key_name = ("train_samples_per_sec_reduced_depth_layers1111"
+                        if reduced else "train_samples_per_sec")
+            extra[key_name] = round(B / dt_tr, 3)
 
         # ---- multi-question serving (scene-encoding reuse) ---------------
         # SQA3D averages ~6 questions/scene; the reference eval recomputes
@@ -454,12 +547,25 @@ def main() -> None:
         # scene_tokens fast path (models/sig3d.py + eval/serving.py) the
         # gather-bound tower runs once per scene.
         def _serving(extra):
-            full_out = jax.jit(lambda v, b, k: model.apply(
-                v, b, train=False, rngs={"sample": k}))(variables, batch, key)
+            # Scene-token VALUES cannot affect the cached-question pass's
+            # wall time (dense fixed-shape compute) — build them with the
+            # right shapes/dtypes from eval_shape instead of paying a
+            # second full-tower relay compile (~250 s) just to produce
+            # numbers that get multiplied by random weights anyway. The
+            # full-pass time in t_scene is the headline's measured dt.
+            out_shapes = jax.eval_shape(
+                lambda v, b, k: model.apply(v, b, train=False,
+                                            rngs={"sample": k}),
+                variables, batch, key)
+            tok_s = out_shapes["att_feat_pre"]
+            pos_s = out_shapes["scene_positions"]
+            rngv = np.random.RandomState(3)
             q_batch = {k: v for k, v in batch.items()
                        if not k.startswith("voxel_")}
-            q_batch["scene_tokens"] = full_out["att_feat_pre"]
-            q_batch["scene_token_positions"] = full_out["scene_positions"]
+            q_batch["scene_tokens"] = jnp.asarray(
+                rngv.randn(*tok_s.shape).astype(np.float32), tok_s.dtype)
+            q_batch["scene_token_positions"] = jnp.asarray(
+                rngv.randn(*pos_s.shape).astype(np.float32), pos_s.dtype)
             fwd_q = jax.jit(lambda v, b, k: model.apply(
                 v, b, train=False, rngs={"sample": k})["answer_scores"])
             dt_q = time_fn(fwd_q, variables, q_batch, key, iters=10)
@@ -468,7 +574,6 @@ def main() -> None:
             t_scene = dt + (qps - 1) * dt_q   # 1 full pass + 5 cached
             extra["serving_6q_per_scene_samples_per_sec"] = round(
                 qps * B / t_scene, 2)
-        section("serving", 300, _serving, extra)
 
         # ---- B=2 like-for-like (round-1 driver config) -------------------
         # the r1 driver record (BENCH_r01: 5.424 samples/s) was B=2; keep a
@@ -481,7 +586,6 @@ def main() -> None:
             batch2, _, _ = make_scene_batch(cfg, 2, np.random.RandomState(0))
             dt2 = time_fn(fwd, variables, batch2, key, iters=10)
             extra["headline_b2_samples_per_sec"] = round(2 / dt2, 3)
-        section("b2", 250, _b2, extra)
 
         # ---- host-plan production path (prefetch overlaps plan build) ----
         def _hostplan(extra):
@@ -500,7 +604,6 @@ def main() -> None:
                 rngs={"sample": k})["answer_scores"])
             dt_hp = time_fn(fwd_hp, variables, batch, plan, key, iters=10)
             extra["hostplan_samples_per_sec"] = round(B / dt_hp, 3)
-        section("hostplan", 450, _hostplan, extra)
 
         # ---- Pallas FPS kernel: hardware check + speedup ------------------
         # (VERDICT r1 weak#7: interpret-mode tests alone don't prove the
@@ -517,7 +620,32 @@ def main() -> None:
             dt_p = time_fn(f_pal, xyz, iters=5)
             dt_x = time_fn(f_xla, xyz, iters=5)
             extra["fps_pallas_speedup"] = round(dt_x / dt_p, 2)
-        section("fps", 90, _fps, extra)
+
+        # ---- deficit-aware rotation (VERDICT r3 #1) -----------------------
+        # min budgets are the OBSERVED cold-compile section costs through
+        # the relay (CLAUDE.md): starting a section the budget can't afford
+        # would hang the whole record. Never-driver-captured sections run
+        # first, cheapest first (maximizes sections captured per round);
+        # already-captured sections yield their slot and re-run only with
+        # leftover budget.
+        sections = [
+            ("serving", 200, _serving),
+            ("b2", 250, _b2),
+            ("blip2_decode", 240, bench_blip2_decode),
+            ("blip2_train", 300, bench_blip2_train),
+            ("hostplan", 450, _hostplan),
+            ("train", 400, _train),   # reduced-depth fallback under 900
+            ("fps", 90, _fps),
+        ]
+        if os.environ.get("BENCH_BLIP2", "1") != "1":
+            sections = [s for s in sections if not s[0].startswith("blip2")]
+        captured = driver_captured_sections()
+        extra["sections_previously_captured"] = sorted(captured)
+        fresh = sorted((s for s in sections if s[0] not in captured),
+                       key=lambda s: s[1])
+        done = [s for s in sections if s[0] in captured]
+        for name, min_s, fn in fresh + done:
+            section(name, min_s, fn, extra)
     finally:
         signal.alarm(0)
         extra["wall_s"] = round(time.monotonic() - _T0, 1)
