@@ -66,7 +66,13 @@ GATHER_GBPS = 13e9      # feature-row gather bandwidth
 GATHER_ROWS = 250e6     # feature-row gather row rate
 MAP_ROWS = 65e6         # single-int32 gather rate (kernel maps)
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+# 900 -> 1150 for round 5 (final round): the driver survived wall_s=917.9
+# at r4 (rc=0) and every section re-emits the full record, so even a
+# driver kill mid-section preserves everything already captured in the
+# tail; the extra ~250 s is what lets BOTH never-captured train sections
+# (blip2_train ~300 s + reduced-depth train ~400 s) land after the ~440 s
+# headline compile instead of one per round (VERDICT r4 #3).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1150"))
 _T0 = time.monotonic()
 
 RESULT = {
@@ -115,7 +121,7 @@ SECTION_EVIDENCE = {
     "blip2_decode": ("blip2_decode_tokens_per_sec",),
     "blip2_train": ("blip2_train_samples_per_sec",),
     "train": ("train_samples_per_sec",
-              "train_samples_per_sec_reduced_depth_layers1111"),
+              "train_samples_per_sec_reduced_depth_layers8x1"),
     "serving": ("serving_6q_per_scene_samples_per_sec",),
     "b2": ("headline_b2_samples_per_sec",),
     "hostplan": ("hostplan_samples_per_sec",),
@@ -300,6 +306,13 @@ def roofline(extra, cfg, scenes_per_sec):
     extra["map_rows_per_sample_m"] = round(map_rows / 1e6, 2)
     extra["gather_roofline_samples_per_sec"] = round(1.0 / t, 2)
     extra["pct_of_gather_roofline"] = round(100 * scenes_per_sec * t, 1)
+    # the model above stopped describing the program once the fused convs
+    # and Pallas maps left the XLA gather engine (it reads >100%); kept
+    # for cross-round continuity only. The ceiling statement of record is
+    # the chip-MEASURED per-stage budget in DESIGN.md §13
+    # (scripts/bench_pipeline.py).
+    extra["gather_roofline_note"] = (
+        "modeled, stale; see DESIGN.md §13 measured stage budget")
 
 
 def bench_blip2_decode(extra, cfg=None, B=8):
@@ -498,18 +511,22 @@ def main() -> None:
         # Observed full-step relay compile is ~1200 s — it can never fit
         # the 900 s budget after the headline. Per VERDICT r3 #1: when the
         # remaining budget can't afford the full-depth step, bench a
-        # reduced-depth one (sparse.layers=[1,1,1,1] vs default) and say so
+        # reduced-depth one (all EIGHT layers entries set to 1 — MinkUNet
+        # decoder blocks 5/6 always read cfg.layers[4]/[5], so a 4-entry
+        # override IndexErrors at trace time, ADVICE r4 high) and say so
         # in the key name; a driver-captured reduced-depth number beats a
         # full-depth number that is builder-self-reported forever.
         def _train(extra):
             from situation3d_tpu.train.trainer import (TrainState,
                                                        make_sig3d_optimizer,
                                                        make_train_step)
-            reduced = remaining() < 900
+            # full depth needs its OBSERVED ~1200 s cold relay compile plus
+            # timing slack, not just the section minimum (ADVICE r4 medium)
+            reduced = remaining() < 1300
             if reduced:
                 cfg_t = apply_overrides(
                     Config(), ["data.num_answers=706",
-                               "sparse.layers=[1,1,1,1]", *opts])
+                               "sparse.layers=[1,1,1,1,1,1,1,1]", *opts])
                 model_t = SIG3D(cfg_t, num_answers=706, dtype=jnp.bfloat16)
             else:
                 cfg_t, model_t = cfg, model
@@ -537,7 +554,7 @@ def main() -> None:
                 return metrics["loss"]
 
             dt_tr = time_fn(run_step, state, batch, iters=5)
-            key_name = ("train_samples_per_sec_reduced_depth_layers1111"
+            key_name = ("train_samples_per_sec_reduced_depth_layers8x1"
                         if reduced else "train_samples_per_sec")
             extra[key_name] = round(B / dt_tr, 3)
 
@@ -571,9 +588,21 @@ def main() -> None:
             dt_q = time_fn(fwd_q, variables, q_batch, key, iters=10)
             extra["cached_scene_question_samples_per_sec"] = round(B / dt_q, 1)
             qps = 6  # questions per scene (SQA3D test-set average)
+            # scene-encode cost = the headline's measured full pass, which
+            # INCLUDES the on-device plan build (plan amortization: paid
+            # once per scene, not per question); with host-built plans
+            # overlapped (hostplan section) the encode would be cheaper
+            # still, so this is the conservative serving number.
             t_scene = dt + (qps - 1) * dt_q   # 1 full pass + 5 cached
-            extra["serving_6q_per_scene_samples_per_sec"] = round(
-                qps * B / t_scene, 2)
+            serving = qps * B / t_scene
+            extra["serving_6q_per_scene_samples_per_sec"] = round(serving, 2)
+            # deployment story vs the reference as shipped: its eval loop
+            # recomputes the full tower per question at batch=1
+            # (situation3d/eval/eval.py:218,287-290) — tier C in
+            # BASELINE.md, modeled ~25 samples/s midpoint on A100. Modeled
+            # denominator, NOT a measurement (top-level vs_baseline stays
+            # null for exactly that reason).
+            extra["serving_vs_asshipped_modeled"] = round(serving / 25.0, 2)
 
         # ---- B=2 like-for-like (round-1 driver config) -------------------
         # the r1 driver record (BENCH_r01: 5.424 samples/s) was B=2; keep a

@@ -111,8 +111,12 @@ def main():
     # ---- conv0 (z-window) ------------------------------------------------
     f0 = feats(caps[0], sp.in_channels, 0)
     w0 = w(125, sp.in_channels, sp.init_dim)
+    # scalar return like every other stage: the full [B,V,32] bf16 output
+    # (~25 MB) would drag through the ~0.07 GB/s relay on each timed
+    # loop's completion fetch and bias the stage by ~5 ms/sample
     f_conv0 = jax.jit(lambda f, c, m, k: sparse_conv0_zwin(
-        f, c, m, k, extent)[0])
+        f, c, m, k, extent,
+        int8_grid=getattr(sp, "conv0_int8", False))[0].sum())
 
     # ---- the 4 k2 downsample convs (chained, one program) ----------------
     k2maps = [jnp.asarray(np.asarray(L[i]["map_down"])) for i in (1, 2, 3, 4)]

@@ -60,7 +60,7 @@ def test_scan_reduced_depth_train_counts(tmp_path):
     _write(tmp_path, "BENCH_r04.json", {
         "rc": 0,
         "parsed": {"extra": {
-            "train_samples_per_sec_reduced_depth_layers1111": 9.1}},
+            "train_samples_per_sec_reduced_depth_layers8x1": 9.1}},
     })
     assert driver_captured_sections(str(tmp_path)) == {"train"}
 
@@ -72,21 +72,51 @@ def test_scan_ignores_unreadable_records(tmp_path):
     assert driver_captured_sections(str(tmp_path)) == {"hostplan"}
 
 
-def test_real_repo_records_parse():
-    """The actual BENCH_r*.json records next to bench.py must yield at
-    least the r3 driver-captured set; never-captured-by-r3 sections must
-    stay uncaptured until a real driver record carries them."""
-    got = driver_captured_sections()
-    assert {"gather_rates", "blip2_decode", "fps"} <= got
-    # keep this in sync if a later driver record captures them for real
-    recorded_labels = {"blip2_train", "train", "serving", "b2", "hostplan"}
-    for name in recorded_labels & got:
-        # if this fires, a new BENCH_r*.json landed — update the test
-        import glob
-        import os
-        root = Path(__file__).resolve().parent.parent
-        assert len(glob.glob(os.path.join(root, "BENCH_r0[4-9].json"))), \
-            f"{name} captured but only r1-r3 records exist"
+def test_real_repo_records_parse(tmp_path):
+    """The committed BENCH_r*.json records, copied as fixtures, must scan
+    without error and yield only known section names — and the sections
+    captured by r3/r4 (which stay in git forever) must be recognized.
+    Copies go through tmp_path so future driver records landing in the
+    repo root can only ADD captured sections, never flip this test
+    (ADVICE r4 low: the live-repo read changed meaning every round)."""
+    import shutil
+    root = Path(__file__).resolve().parent.parent
+    records = sorted(root.glob("BENCH_r*.json"))
+    assert records, "committed driver records missing"
+    for p in records:
+        shutil.copy(p, tmp_path / p.name)
+    got = driver_captured_sections(str(tmp_path))
+    assert got <= set(SECTION_EVIDENCE)
+    # captured-by-r4 floor; r3/r4 records are committed and immutable
+    assert {"gather_rates", "blip2_decode", "fps", "serving", "b2"} <= got
+
+
+def test_reduced_depth_train_model_traces():
+    """bench.py's reduced-depth train fallback must construct + trace
+    (ADVICE r4 high: a 4-entry sparse.layers override IndexError'd at
+    trace time because MinkUNet decoder blocks always read layers[4:6],
+    so the train section could never be captured). eval_shape on tiny
+    capacities is enough to catch any construction/trace failure."""
+    import jax
+    import jax.numpy as jnp
+    from situation3d_tpu.config import Config, apply_overrides
+    from situation3d_tpu.models.sig3d import SIG3D
+    from bench import make_scene_batch
+    import numpy as np
+
+    cfg = apply_overrides(Config(), [
+        "data.num_answers=17",
+        "sparse.layers=[1,1,1,1,1,1,1,1]",   # exactly bench.py's override
+        "sparse.capacities=2048,1024,512,256,128",
+        "sparse.grid_extent=(128,128,64)", "data.voxel_size=0.08",
+        "data.voxel_capacity=2048",
+    ])
+    batch, _, _ = make_scene_batch(cfg, 2, np.random.RandomState(0))
+    model = SIG3D(cfg, num_answers=17, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(lambda b: model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        b, train=False), batch)  # exactly bench.py _train's init trace
+    assert "params" in shapes
 
 
 def test_evidence_keys_cover_all_sections():

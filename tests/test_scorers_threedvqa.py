@@ -88,12 +88,44 @@ def test_score_all_full_reference_schema():
     golds = {"a": ["chair"]}
     out = score_all(preds, golds)
     for k in ("EM", "BLEU-1", "BLEU-2", "BLEU-3", "BLEU-4", "METEOR(stem)",
-              "ROUGE-L", "CIDEr", "SPICE"):
+              "ROUGE-L", "CIDEr", "SPICE", "SPICE(proxy)"):
         assert k in out
     assert out["SPICE"] is None
+    assert out["SPICE(proxy)"] == 1.0  # identical single-object graphs
     # single-word perfect match: chunks/m = 1 -> penalty gamma*1^beta = 0.5
     # (the real METEOR jar scores this 0.5 too)
     assert out["METEOR(stem)"] == 0.5
+
+
+def test_spice_proxy_tuple_extraction_and_f1():
+    """SPICE(proxy): objects / attribute pairs / relation triples from
+    lexicon+position heuristics, bag-F1 vs the union of reference graphs
+    (the reference's SPICE is pycocoevalcap's Java parser,
+    calculate_score_3dllm.py:23,279 — proxy is labeled, never 'SPICE')."""
+    from situation3d_tpu.eval.scorers import _spice_tuples, spice_proxy
+
+    t = _spice_tuples("the red chair near the wooden table".split())
+    assert ("chair",) in t and ("tabl",) in t          # objects (stemmed)
+    assert ("chair", "red") in t                        # attribute pair
+    assert ("tabl", "wooden") in t
+    assert ("chair", "near", "tabl") in t               # relation triple
+    # stopwords/relations never become objects
+    assert ("the",) not in t and ("near",) not in t
+
+    # identical sentence -> F1 1.0; disjoint -> 0.0
+    golds = {"a": ["the red chair near the wooden table"]}
+    assert spice_proxy({"a": "the red chair near the wooden table"},
+                       golds) == 1.0
+    assert spice_proxy({"a": "blue window"}, golds) == 0.0
+    # partial: pred 'red chair' -> tuples {(chair,),(red... pair),(red,)}
+    # vs gold graph; F1 strictly between
+    part = spice_proxy({"a": "red chair"}, golds)
+    assert 0.0 < part < 1.0
+    # union over multiple references
+    golds2 = {"a": ["a chair", "a table"]}
+    assert spice_proxy({"a": "chair table"}, golds2) > 0.0
+    # empty pred and empty gold -> 1.0 (both graphs empty)
+    assert spice_proxy({"a": "the of"}, {"a": ["is the"]}) == 1.0
 
 
 def test_clean_answer_and_buckets():
