@@ -91,6 +91,17 @@ class SparseConfig:
     # (79% of per-sample map rows) and its 125 feature gathers entirely.
     # Requires dense_lookup (uses grid_extent).
     conv0_zwin: bool = True
+    # conv0's z-window grid stored as int8 (per-channel affine quantized,
+    # occupancy in the pad lane, affine folded into the phase weights —
+    # sparse/conv.py sparse_conv0_zwin int8_grid). Isolated microbenches
+    # promised 3.7x on the window gather (scripts/mb_int8_gather.py) but
+    # EVERY formulation chip-measured a LOSS in situ (DESIGN.md §14):
+    # e2e 13.32 -> 12.38 (take_along_axis) / 7.40 (flat gather — the
+    # bitcast-born int8 grid inherits the int32 parent's tile geometry
+    # and the row gather scalarizes, 25x slower than from a native int8
+    # array). Kept as a measured option; exact for full-range byte
+    # colors, kernel grads exact (tested).
+    conv0_int8: bool = False
     # sort-free downsample: grid occupancy + cumsum compaction instead of
     # one lax.sort per level per sample (kernel_map.downsample_coords_dense;
     # bit-identical order for in-extent scenes). Requires dense_lookup.

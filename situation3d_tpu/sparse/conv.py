@@ -179,6 +179,7 @@ class SparseConvZWin(nn.Module):
     out_channels: int
     extent: tuple
     dtype: jnp.dtype = jnp.float32
+    int8_grid: bool = False
 
     @nn.compact
     def __call__(self, x: SparseVoxels) -> SparseVoxels:
@@ -186,9 +187,13 @@ class SparseConvZWin(nn.Module):
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
             (125, x.num_channels, self.out_channels), jnp.float32)
+        # kernel passed f32: the int8 path folds the quantization affine
+        # into it BEFORE the bf16 cast (single rounding); the plain path
+        # casts inside identically either way
         out, _ = sparse_conv0_zwin(
             x.feats.astype(self.dtype), x.coords, x.mask,
-            kernel.astype(self.dtype), tuple(self.extent))
+            kernel, tuple(self.extent),
+            int8_grid=self.int8_grid)
         return SparseVoxels(coords=x.coords, feats=out, mask=x.mask,
                             stride=x.stride)
 
@@ -310,6 +315,9 @@ def sparse_conv0_zwin(
     extent,
     precision=None,
     batch_chunk: int = 2,
+    int8_grid: bool = False,
+    _int8_flat_gather: bool = True,
+    _int8_unique_scatter: bool = True,
 ):
     """k5 stride-1 sparse conv via a window-packed dense FEATURE grid — no
     kernel map at all.
@@ -358,6 +366,21 @@ def sparse_conv0_zwin(
       feats: [B, V, 3] (padding rows zero); coords int32 [B, V, 3] stride-1
       voxels; mask bool [B, V]; kernel [125, 3, C_out] in kernel_offsets(5)
       order (x slowest); extent static (X, Y, Z).
+      int8_grid: round-5 bandwidth lever (DESIGN.md §14). The grid stores
+        int8 instead of ``feats.dtype``: per-channel min/max affine
+        quantization of the input features, the occupancy flag in the
+        4th (pad) channel lane, and the affine fold into the
+        phase-expanded weights (the conv is linear, so
+        ``f = lo + step*(q+128)`` folds exactly: channel weights scale by
+        ``step``, the occupancy weight absorbs ``sum_c (lo_c +
+        128*step_c) W[:,c,:]``). Window rows shrink 256 B -> 128 B (the
+        measured 128 B int8 row gather runs 3.7x the 256 B bf16 rate on
+        v5e — scripts/mb_int8_gather.py), and the scatter writes ONE
+        packed int32 per voxel instead of 3 scalars. Quantization error
+        <= step/2 (0.2% of the per-channel range) — the same order as
+        the bf16 rounding the production path already applies to its
+        inputs; EXACT for full-range byte-valued colors (the reference's
+        actual conv0 input, ``lib/sepdataset.py`` RGB features).
     Returns ([B, V, C_out], extent_misses int32 [B]).
     """
     B, V, C_in = feats.shape
@@ -381,8 +404,38 @@ def sparse_conv0_zwin(
     # (dx, j, k, ch) at the window/lane position m where a voxel of phase
     # p = (py, pz) finds that tap in its gathered [20, 128] window block
     p_idx, m_idx, t_idx = _zwin_phase_maps()
-    k4 = jnp.pad(kernel, ((0, 0), (0, CH - C_in), (0, 0)))       # [125, 4, C]
-    k4 = k4.reshape(125 * CH, C_out).astype(feats.dtype)
+    if int8_grid:
+        assert C_in < CH, "int8 grid needs the pad lane for occupancy"
+        # per-batch per-channel affine over in-extent voxels (computed
+        # once, shared by every lax.map chunk)
+        f32a = feats.astype(jnp.float32)
+        extm = in_extent[..., None]
+        big = jnp.float32(3e37)
+        any_valid = jnp.any(in_extent)
+        lo = jnp.min(jnp.where(extm, f32a, big), axis=(0, 1))[:C_in]
+        hi = jnp.max(jnp.where(extm, f32a, -big), axis=(0, 1))[:C_in]
+        lo = jnp.where(any_valid, lo, 0.0)
+        hi = jnp.where(any_valid, hi, 0.0)
+        step = jnp.maximum((hi - lo) / 255.0, jnp.float32(1e-6))
+        # quantization params are data statistics, not a gradient path;
+        # grads w.r.t. KERNEL stay exact (k4 is linear in kernel below).
+        # Grads w.r.t. feats are zero through round() — the int8 grid is
+        # a frozen-input/inference formulation (conv0 consumes raw scene
+        # colors; nothing trainable sits upstream).
+        lo = jax.lax.stop_gradient(lo)
+        step = jax.lax.stop_gradient(step)
+        # fold the affine into the weights: stored value q in [-128, 127]
+        # recovers f = (lo + 128*step)*occ + step*q, and occ rides the
+        # pad lane as literal int8 1
+        kf = kernel.astype(jnp.float32)
+        kscaled = kf * step[None, :, None]                       # [125,3,C]
+        occ_w = jnp.einsum("tco,c->to", kf, lo + 128.0 * step)
+        k4 = jnp.concatenate([kscaled, occ_w[:, None, :]], axis=1)
+        k4 = k4.reshape(125 * CH, C_out).astype(feats.dtype)
+    else:
+        lo = step = None
+        k4 = jnp.pad(kernel, ((0, 0), (0, CH - C_in), (0, 0)))   # [125, 4, C]
+        k4 = k4.reshape(125 * CH, C_out).astype(feats.dtype)
     WP = jnp.zeros((32, 20 * 128, C_out), feats.dtype)
     WP = WP.at[p_idx, m_idx].set(jnp.take(k4, t_idx, axis=0))
     WPmat = WP.transpose(1, 0, 2).reshape(20 * 128, 32 * C_out)
@@ -401,13 +454,32 @@ def sparse_conv0_zwin(
         # materializes CH-minor -> lane-padded 32x -> 36 GB at the SQA3D
         # extent; this keeps the only big buffer at exactly [n_rows, 128])
         bidx = jnp.arange(bc)[:, None]
-        fz = jnp.where(ext[..., None], f, 0)
-        rows_c = jnp.broadcast_to(row[..., None], (bc, V, C_in))
-        lanes_c = lane[..., None] + jnp.arange(C_in, dtype=jnp.int32)
-        grid = jnp.zeros((bc, n_rows, 128), f.dtype)
-        grid = grid.at[bidx, rows_c.reshape(bc, V * C_in),
-                       lanes_c.reshape(bc, V * C_in)].set(
-            fz.reshape(bc, V * C_in), mode="drop")
+        if int8_grid:
+            # ONE packed int32 write per voxel: bytes [q0, q1, q2, occ=1]
+            # little-endian (verified bitcast order), then reinterpret the
+            # [n_rows, 32]-word grid as [n_rows, 128] int8 rows.
+            # unique_indices holds by construction (one word per voxel,
+            # voxels dedup'd): chip probe scat_i8_uniq 3.65 ms/sample
+            # (scripts/mb_conv0_probe2.py).
+            q = jnp.clip(jnp.round(
+                (f.astype(jnp.float32) - lo) / step), 0.0, 255.0
+            ).astype(jnp.int32) - 128
+            word = ((q[..., 0] & 0xFF) | ((q[..., 1] & 0xFF) << 8)
+                    | ((q[..., 2] & 0xFF) << 16) | (1 << 24))
+            g32 = jnp.zeros((bc, n_rows, 32), jnp.int32)
+            g32 = g32.at[bidx, row, lane // CH].set(
+                word, mode="drop", unique_indices=_int8_unique_scatter)
+            grid = jax.lax.bitcast_convert_type(g32, jnp.int8) \
+                .reshape((bc * n_rows, 128) if _int8_flat_gather
+                         else (bc, n_rows, 128))
+        else:
+            fz = jnp.where(ext[..., None], f, 0)
+            rows_c = jnp.broadcast_to(row[..., None], (bc, V, C_in))
+            lanes_c = lane[..., None] + jnp.arange(C_in, dtype=jnp.int32)
+            grid = jnp.zeros((bc, n_rows, 128), f.dtype)
+            grid = grid.at[bidx, rows_c.reshape(bc, V * C_in),
+                           lanes_c.reshape(bc, V * C_in)].set(
+                fz.reshape(bc, V * C_in), mode="drop")
 
         # window rows: (dx 5) x (z-chunk 2) x (y-group 2)
         c0 = (zp - PAD) >> 3
@@ -419,13 +491,23 @@ def sparse_conv0_zwin(
             * NYG + g0[..., None, None, None] \
             + jnp.arange(2, dtype=jnp.int32)[None, None, None, None, :]
         r = jnp.where(ext[..., None, None, None], r, 0)
-        win = jnp.take_along_axis(grid, r.reshape(bc, V * 20)[..., None],
-                                  axis=1)                        # [bc, V*20, 128]
+        if int8_grid and _int8_flat_gather:
+            # FLAT t[i] gather: the batched take_along_axis form gathers
+            # these rows at ~56 M rows/s while the flat unbatched form
+            # runs 3.8x faster on int8 128 B rows (chip probes
+            # mb_conv0_probe.py / mb_conv0_probe2.py)
+            rf = (r.reshape(bc, V * 20)
+                  + (jnp.arange(bc, dtype=jnp.int32) * n_rows)[:, None])
+            win = grid[rf.reshape(-1)]                           # [bc*V*20, 128]
+        else:
+            win = jnp.take_along_axis(grid, r.reshape(bc, V * 20)[..., None],
+                                      axis=1)                    # [bc, V*20, 128]
 
         # one 2560-deep MXU matmul computes the conv for ALL 32 phases,
         # then the voxel's true phase block is selected one-hot
         out_all = jnp.einsum(
-            "bvm,mq->bvq", win.reshape(bc, V, 20 * 128), WPmat,
+            "bvm,mq->bvq",
+            win.reshape(bc, V, 20 * 128).astype(f.dtype), WPmat,
             preferred_element_type=jnp.float32,
             precision=precision).astype(f.dtype)                 # [bc,V,32*C]
         phase = ((yp - PAD) & 3) * 8 + ((zp - PAD) & 7)          # [bc, V]

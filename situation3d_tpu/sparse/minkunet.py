@@ -390,7 +390,9 @@ class MinkUNet(nn.Module):
             # + 6.1 M feature rows per sample (sparse/conv.py)
             from situation3d_tpu.sparse.conv import SparseConvZWin
             h = SparseConvZWin(cfg.init_dim, tuple(cfg.grid_extent),
-                               dtype=dt, name="conv0p1s1")(x)
+                               dtype=dt,
+                               int8_grid=getattr(cfg, "conv0_int8", False),
+                               name="conv0p1s1")(x)
         else:
             h = conv("conv0p1s1", cfg.init_dim, 125, x, L[0]["map_k5"], L[0], 1)
         h = sparse_relu(bn("bn0", h))

@@ -535,6 +535,88 @@ def test_conv0_zwin_matches_gather_path(rng):
     assert int(np.asarray(misses).sum()) == expected_misses > 0
 
 
+def test_conv0_zwin_int8_grid(rng):
+    """int8_grid conv0 (round-5 bandwidth lever): per-channel affine
+    quantized int8 grid + occupancy lane + affine fold into the phase
+    weights. Exact for full-range byte colors (the real conv0 input);
+    bounded by step/2 per channel otherwise."""
+    from situation3d_tpu.sparse.conv import sparse_conv0_zwin
+
+    extent = (32, 24, 16)
+    B, cap, n_occ = 4, 96, 80
+    coords = np.zeros((B, cap, 3), np.int32)
+    mask = np.zeros((B, cap), bool)
+    for b in range(B):
+        c, m = make_sparse(rng, n_occ, span=14, cap=cap, seed_offset=17 + b)
+        coords[b], mask[b] = c, m
+    kernel = rng.randn(125, 3, 8).astype(np.float32) * 0.1
+
+    # case A: byte-valued colors spanning the full [0, 255] range ->
+    # step = 1.0 exactly, quantization is lossless
+    feats = rng.randint(0, 256, (B, cap, 3)).astype(np.float32)
+    feats[0, 0] = [0.0, 0.0, 0.0]
+    feats[0, 1] = [255.0, 255.0, 255.0]
+    feats[~mask] = 0
+    with jax.default_matmul_precision("highest"):
+        want, miss_a = sparse_conv0_zwin(
+            jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(mask),
+            jnp.asarray(kernel), extent)
+        got, miss_b = sparse_conv0_zwin(
+            jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(mask),
+            jnp.asarray(kernel), extent, int8_grid=True)
+    np.testing.assert_array_equal(np.asarray(miss_a), np.asarray(miss_b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)
+
+    # case B: arbitrary floats -> error bounded by the documented
+    # per-channel step/2 through the conv's weight mass
+    featsf = (rng.randn(B, cap, 3).astype(np.float32) * 3.0 + 1.0)
+    featsf[~mask] = 0
+    with jax.default_matmul_precision("highest"):
+        wantf, _ = sparse_conv0_zwin(
+            jnp.asarray(featsf), jnp.asarray(coords), jnp.asarray(mask),
+            jnp.asarray(kernel), extent)
+        gotf, _ = sparse_conv0_zwin(
+            jnp.asarray(featsf), jnp.asarray(coords), jnp.asarray(mask),
+            jnp.asarray(kernel), extent, int8_grid=True)
+    lo = np.where(mask[..., None], featsf, np.inf).min(axis=(0, 1))
+    hi = np.where(mask[..., None], featsf, -np.inf).max(axis=(0, 1))
+    step = (hi - lo) / 255.0
+    # worst case: every one of the <=125 in-window taps off by step/2
+    bound = 125 * np.abs(kernel).sum(axis=(0, 1)).max() * step.max() / 2
+    err = np.abs(np.asarray(gotf) - np.asarray(wantf)).max()
+    assert err <= bound, (err, bound)
+    # and in practice far tighter than the worst case
+    denom = np.abs(np.asarray(wantf)).max()
+    assert err / denom < 0.02, (err, denom)
+
+    # case D: KERNEL gradients through the int8 path stay exact (k4 is
+    # linear in kernel; lo/step are stop_gradient'd data statistics) —
+    # byte inputs make the quantized features identical, so kernel grads
+    # must match the plain path
+    def loss(k, int8):
+        out, _ = sparse_conv0_zwin(
+            jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(mask),
+            k, extent, int8_grid=int8)
+        return jnp.sum(out * out)
+
+    with jax.default_matmul_precision("highest"):
+        gk_plain = jax.grad(lambda k: loss(k, False))(jnp.asarray(kernel))
+        gk_int8 = jax.grad(lambda k: loss(k, True))(jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(gk_int8), np.asarray(gk_plain),
+                               rtol=1e-3, atol=1e-2)
+
+    # case C: empty batch must not NaN (guarded lo/step)
+    with jax.default_matmul_precision("highest"):
+        gz, _ = sparse_conv0_zwin(
+            jnp.zeros((2, cap, 3), jnp.float32),
+            jnp.zeros((2, cap, 3), jnp.int32),
+            jnp.zeros((2, cap), bool),
+            jnp.asarray(kernel), extent, int8_grid=True)
+    assert np.isfinite(np.asarray(gz)).all()
+    np.testing.assert_array_equal(np.asarray(gz), 0.0)
+
+
 def test_conv0_zwin_gradients_match(rng):
     """Gradients through the z-window conv (scatter/gather/one-hot einsum)
     must match the kernel-map path for both feats and kernel."""
