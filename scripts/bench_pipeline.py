@@ -116,7 +116,9 @@ def main():
     # loop's completion fetch and bias the stage by ~5 ms/sample
     f_conv0 = jax.jit(lambda f, c, m, k: sparse_conv0_zwin(
         f, c, m, k, extent,
-        int8_grid=getattr(sp, "conv0_int8", False))[0].sum())
+        int8_grid=getattr(sp, "conv0_int8", False),
+        flat_gather=getattr(sp, "conv0_flat_gather", False),
+        unique_scatter=getattr(sp, "conv0_unique_scatter", False))[0].sum())
 
     # ---- the 4 k2 downsample convs (chained, one program) ----------------
     k2maps = [jnp.asarray(np.asarray(L[i]["map_down"])) for i in (1, 2, 3, 4)]

@@ -102,6 +102,14 @@ class SparseConfig:
     # array). Kept as a measured option; exact for full-range byte
     # colors, kernel grads exact (tested).
     conv0_int8: bool = False
+    # bf16 z-window grid probe-#4/#5 variants (sparse/conv.py
+    # sparse_conv0_zwin, DESIGN.md §15). flat_gather: flat unbatched
+    # t[i] window gather — bit-exact, conv0 36.0 -> 31.4 ms/sample in
+    # situ, e2e 13.33 -> 14.20 samples/s interleaved A/B -> default ON.
+    # unique_scatter: unique_indices on the grid scatter — measured
+    # no-op for this .set scatter; kept as a knob, default OFF.
+    conv0_flat_gather: bool = True
+    conv0_unique_scatter: bool = False
     # sort-free downsample: grid occupancy + cumsum compaction instead of
     # one lax.sort per level per sample (kernel_map.downsample_coords_dense;
     # bit-identical order for in-extent scenes). Requires dense_lookup.

@@ -180,6 +180,8 @@ class SparseConvZWin(nn.Module):
     extent: tuple
     dtype: jnp.dtype = jnp.float32
     int8_grid: bool = False
+    flat_gather: bool = False
+    unique_scatter: bool = False
 
     @nn.compact
     def __call__(self, x: SparseVoxels) -> SparseVoxels:
@@ -193,7 +195,9 @@ class SparseConvZWin(nn.Module):
         out, _ = sparse_conv0_zwin(
             x.feats.astype(self.dtype), x.coords, x.mask,
             kernel, tuple(self.extent),
-            int8_grid=self.int8_grid)
+            int8_grid=self.int8_grid,
+            flat_gather=self.flat_gather,
+            unique_scatter=self.unique_scatter)
         return SparseVoxels(coords=x.coords, feats=out, mask=x.mask,
                             stride=x.stride)
 
@@ -318,6 +322,8 @@ def sparse_conv0_zwin(
     int8_grid: bool = False,
     _int8_flat_gather: bool = True,
     _int8_unique_scatter: bool = True,
+    flat_gather: bool = False,
+    unique_scatter: bool = False,
 ):
     """k5 stride-1 sparse conv via a window-packed dense FEATURE grid — no
     kernel map at all.
@@ -381,6 +387,16 @@ def sparse_conv0_zwin(
         the bf16 rounding the production path already applies to its
         inputs; EXACT for full-range byte-valued colors (the reference's
         actual conv0 input, ``lib/sepdataset.py`` RGB features).
+      flat_gather: gather the window rows from the grid reshaped flat
+        ``[bc*n_rows, 128]`` with unbatched ``t[i]`` indexing instead of
+        batched ``take_along_axis`` — chip probe #4
+        (scripts/mb_conv0_probe4.py): 12.6 vs 14.9 ms/sample on the bf16
+        grid (the int8 variant of this lost in situ to the bitcast
+        layout, DESIGN.md §14; the bf16 grid is natively laid out).
+      unique_scatter: pass ``unique_indices=True`` on the bf16 grid
+        scatter — true by construction (voxels are dedup'd, one (row,
+        lane) slot per (voxel, channel)); measured 10-15% on scatters
+        elsewhere (CLAUDE.md).
     Returns ([B, V, C_out], extent_misses int32 [B]).
     """
     B, V, C_in = feats.shape
@@ -479,7 +495,8 @@ def sparse_conv0_zwin(
             grid = jnp.zeros((bc, n_rows, 128), f.dtype)
             grid = grid.at[bidx, rows_c.reshape(bc, V * C_in),
                            lanes_c.reshape(bc, V * C_in)].set(
-                fz.reshape(bc, V * C_in), mode="drop")
+                fz.reshape(bc, V * C_in), mode="drop",
+                unique_indices=unique_scatter)
 
         # window rows: (dx 5) x (z-chunk 2) x (y-group 2)
         c0 = (zp - PAD) >> 3
@@ -499,6 +516,12 @@ def sparse_conv0_zwin(
             rf = (r.reshape(bc, V * 20)
                   + (jnp.arange(bc, dtype=jnp.int32) * n_rows)[:, None])
             win = grid[rf.reshape(-1)]                           # [bc*V*20, 128]
+        elif flat_gather and not int8_grid:
+            # bf16 flat t[i] gather (probe #4: 12.6 vs taa 14.9 ms/sample;
+            # the grid here is natively laid out, unlike the int8 bitcast)
+            rf = (r.reshape(bc, V * 20)
+                  + (jnp.arange(bc, dtype=jnp.int32) * n_rows)[:, None])
+            win = grid.reshape(bc * n_rows, 128)[rf.reshape(-1)]
         else:
             win = jnp.take_along_axis(grid, r.reshape(bc, V * 20)[..., None],
                                       axis=1)                    # [bc, V*20, 128]

@@ -392,6 +392,10 @@ class MinkUNet(nn.Module):
             h = SparseConvZWin(cfg.init_dim, tuple(cfg.grid_extent),
                                dtype=dt,
                                int8_grid=getattr(cfg, "conv0_int8", False),
+                               flat_gather=getattr(
+                                   cfg, "conv0_flat_gather", False),
+                               unique_scatter=getattr(
+                                   cfg, "conv0_unique_scatter", False),
                                name="conv0p1s1")(x)
         else:
             h = conv("conv0p1s1", cfg.init_dim, 125, x, L[0]["map_k5"], L[0], 1)

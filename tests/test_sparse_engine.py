@@ -535,6 +535,41 @@ def test_conv0_zwin_matches_gather_path(rng):
     assert int(np.asarray(misses).sum()) == expected_misses > 0
 
 
+def test_conv0_zwin_bf16_variants_bit_exact(rng):
+    """The probe-#4 bf16 variants (flat t[i] window gather; unique_indices
+    grid scatter — scripts/mb_conv0_probe4.py, DESIGN.md §15) are pure
+    access-path changes: identical gathered rows, identical contraction.
+    Bit-exact vs the production path, including boundary windows, padding
+    rows, and extent misses."""
+    from situation3d_tpu.sparse.conv import sparse_conv0_zwin
+
+    extent = (32, 24, 16)
+    B, cap, n_occ = 4, 96, 80
+    coords = np.zeros((B, cap, 3), np.int32)
+    mask = np.zeros((B, cap), bool)
+    for b in range(B):
+        c, m = make_sparse(rng, n_occ, span=16, cap=cap, seed_offset=b)
+        c[:10, 0] += 16
+        c[5:8, 2] += 8               # out of extent
+        coords[b], mask[b] = c, m
+    feats = jnp.asarray(rng.randn(B, cap, 3).astype(np.float32),
+                        jnp.bfloat16)
+    kernel = jnp.asarray(rng.randn(125, 3, 8).astype(np.float32) * 0.1,
+                         jnp.bfloat16)
+
+    outs = {}
+    for name, (fl, un) in {"base": (False, False), "uniq": (False, True),
+                           "flat": (True, False),
+                           "flat_uniq": (True, True)}.items():
+        o, miss = jax.jit(lambda f, c, m, k, fl=fl, un=un: sparse_conv0_zwin(
+            f, c, m, k, extent, flat_gather=fl, unique_scatter=un))(
+            feats, jnp.asarray(coords), jnp.asarray(mask), kernel)
+        outs[name] = (np.asarray(o), np.asarray(miss))
+    for name in ("uniq", "flat", "flat_uniq"):
+        np.testing.assert_array_equal(outs[name][0], outs["base"][0])
+        np.testing.assert_array_equal(outs[name][1], outs["base"][1])
+
+
 def test_conv0_zwin_int8_grid(rng):
     """int8_grid conv0 (round-5 bandwidth lever): per-channel affine
     quantized int8 grid + occupancy lane + affine fold into the phase
