@@ -11,6 +11,8 @@ backward + adamw update) for the default config and the override config,
 interleaved (single-shot chip numbers drift; CLAUDE.md). Full-depth
 compiles are ~1200 s each through the relay — expect ~40-80 min total.
 Set AB_REDUCED=1 for the 8x1-layers reduced-depth variant (~half).
+Set AB_BASE="k=v;k=v" to apply overrides to BOTH sides (e.g.
+AB_BASE="train.frozen_prefixes=()" to A/B an unfrozen-encoder step).
 """
 from __future__ import annotations
 
@@ -44,8 +46,9 @@ def main() -> None:
     iters = int(os.environ.get("AB_ITERS", "5"))
     reduced = ["sparse.layers=[1,1,1,1,1,1,1,1]"] \
         if os.environ.get("AB_REDUCED") else []
+    shared = [o for o in os.environ.get("AB_BASE", "").split(";") if o]
 
-    base = ["data.num_answers=706", *reduced]
+    base = ["data.num_answers=706", *reduced, *shared]
     cfg_a = apply_overrides(Config(), base)
     cfg_b = apply_overrides(Config(), base + overrides)
     batch, _, _ = bench.make_scene_batch(cfg_a, B, np.random.RandomState(0))
@@ -88,6 +91,7 @@ def main() -> None:
 
     out = {
         "overrides": overrides, "B": B, "reduced": bool(reduced),
+        "base": shared,
         "a_train_samples_per_sec_best": round(max(times["a"]), 3),
         "b_train_samples_per_sec_best": round(max(times["b"]), 3),
         "a_median": round(sorted(times["a"])[len(times["a"]) // 2], 3),

@@ -110,6 +110,13 @@ class SparseConfig:
     # no-op for this .set scatter; kept as a knob, default OFF.
     conv0_flat_gather: bool = True
     conv0_unique_scatter: bool = False
+    # gather-only backward for the same-coords k3/k5 convs
+    # (sparse/conv.py sparse_conv_apply symmetric_bwd): the map's
+    # transpose is itself under offset reversal, so dx AND dW come from
+    # ONE loop of K dy-gathers — no scatter-adds, no feats re-gathers.
+    # Default set by the interleaved train-step A/B
+    # (scripts/bench_train_ab.py, DESIGN.md §16).
+    gather_bwd: bool = False
     # sort-free downsample: grid occupancy + cumsum compaction instead of
     # one lax.sort per level per sample (kernel_map.downsample_coords_dense;
     # bit-identical order for in-extent scenes). Requires dense_lookup.

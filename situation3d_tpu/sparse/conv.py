@@ -31,6 +31,8 @@ def sparse_conv_apply(
     offset_chunk: Optional[int] = None,
     precision=None,
     pallas_gather: Any = False,
+    symmetric_bwd: bool = False,
+    transpose_map: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Gather-matmul sparse convolution.
 
@@ -42,9 +44,36 @@ def sparse_conv_apply(
         contraction for the MXU.
       pallas_gather: serve the gathers from a VMEM-resident Pallas kernel
         when the table fits (ops/pallas/gather.py); XLA otherwise.
+      symmetric_bwd: gather-only backward for SAME-COORDS odd-cube-kernel
+        convs (all the UNet's k3/k5 stride-1 convs). Requires
+        ``out coords == in coords`` and a centered odd kernel, where the
+        map's transpose is itself under offset reversal
+        (``nbr(v,k)=u  <=>  nbr(u,K-1-k)=v``): both dx and dW then come
+        from ONE loop of K dy-gathers — no scatter-adds (the autodiff
+        backward's dx is K scatter-adds, the measured-slow engine class;
+        the fused path's custom VJP additionally re-gathers feats K
+        times). See DESIGN.md §16.
+      transpose_map: explicit transpose map [B, V_in, K] for STRIDED
+        convs (k2 down convs pass the level's ``map_up``, transpose k2
+        up convs pass ``map_down``) — same gather-only backward, no
+        kernel-index flip. Mutually exclusive with ``symmetric_bwd``.
 
     Returns [B, V_out, C_out] (float32 accumulated, cast back to feats.dtype).
     """
+    if transpose_map is not None:
+        return _sparse_conv_tmap(feats, nbr_idx, transpose_map, kernel,
+                                 offset_chunk, precision, pallas_gather,
+                                 False)
+    if symmetric_bwd:
+        return _sparse_conv_tmap(feats, nbr_idx, nbr_idx, kernel,
+                                 offset_chunk, precision, pallas_gather,
+                                 True)
+    return _sparse_conv_impl(feats, nbr_idx, kernel, offset_chunk,
+                             precision, pallas_gather)
+
+
+def _sparse_conv_impl(feats, nbr_idx, kernel, offset_chunk, precision,
+                      pallas_gather):
     B, V_in, C_in = feats.shape
     K = kernel.shape[0]
     V_out = nbr_idx.shape[1]
@@ -122,6 +151,70 @@ def sparse_conv_apply(
     return out.astype(feats.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _sparse_conv_tmap(feats, nbr_idx, t_map, kernel, offset_chunk,
+                      precision, pallas_gather, flip_kernel):
+    """``sparse_conv_apply`` with the gather-only (transpose-map)
+    backward. ``t_map`` [B, V_in, K] is the TRANSPOSE of ``nbr_idx``:
+    ``t_map(u, j) = v  <=>  nbr_idx(v, g(j)) = u`` with ``g(j) = K-1-j``
+    when ``flip_kernel`` (same-coords centered odd kernels, where the map
+    is its own transpose under offset reversal and ``t_map is nbr_idx``)
+    and ``g(j) = j`` otherwise (the UNet's k2 pairs: ``map_down`` and
+    ``map_up`` are built from +k2 / -k2 offsets, so each is the other's
+    transpose at the SAME column index — minkunet.build_unet_plan)."""
+    return _sparse_conv_impl(feats, nbr_idx, kernel, offset_chunk,
+                             precision, pallas_gather)
+
+
+def _tmap_fwd(feats, nbr_idx, t_map, kernel, offset_chunk, precision,
+              pallas_gather, flip_kernel):
+    out = _sparse_conv_impl(feats, nbr_idx, kernel, offset_chunk,
+                            precision, pallas_gather)
+    return out, (feats, t_map, kernel)
+
+
+def _tmap_bwd(offset_chunk, precision, pallas_gather, flip_kernel, res, dy):
+    """Shared-gather backward (DESIGN.md §16). With ``nbr(v, g(j)) = u
+    <=> t_map(u, j) = v`` (both directions exist because maps index only
+    real voxels; parity/extent misses are misses in both maps):
+
+      dx[u]    = sum_j gather(dy, t_map[:, j])[u] @ W[g(j)]^T
+      dW[g(j)] = sum_u feats[u]^T gather(dy, t_map[:, j])[u]
+
+    One loop of K dy-gathers serves BOTH — zero scatter-adds (autodiff dx
+    is K scatter-adds, measured 2-10x the forward's gather class:
+    scripts/mb_train_bwd.py) and zero feats re-gathers (the fused path's
+    VJP pays K of them for dW). Misses gather the zero pad row; padding
+    voxels have all-miss t_map rows, so their dy never enters and their
+    dx is zero; feats padding rows are zero by the engine contract, so dW
+    is unpolluted. Deterministic (pure gathers + matmuls).
+    """
+    feats, t_map, kernel = res
+    B, V_in, C_in = feats.shape
+    K, _, C_out = kernel.shape
+    V_out = dy.shape[1]
+    dyc = dy.astype(feats.dtype)
+    dy_p = jnp.concatenate(
+        [dyc, jnp.zeros((B, 1, C_out), dyc.dtype)], axis=1)
+    idx_safe = jnp.where((t_map >= 0) & (t_map < V_out), t_map, V_out)
+    dx = jnp.zeros((B, V_in, C_in), jnp.float32)
+    dW = [None] * K
+    for j in range(K):
+        kk = K - 1 - j if flip_kernel else j
+        g = jnp.take_along_axis(dy_p, idx_safe[:, :, j, None], axis=1)
+        dx = dx + jnp.einsum(
+            "bvd,cd->bvc", g, kernel[kk].astype(g.dtype),
+            preferred_element_type=jnp.float32, precision=precision)
+        dW[kk] = jnp.einsum(
+            "bvc,bvd->cd", feats, g,
+            preferred_element_type=jnp.float32, precision=precision)
+    return (dx.astype(feats.dtype), None, None,
+            jnp.stack(dW).astype(kernel.dtype))
+
+
+_sparse_conv_tmap.defvjp(_tmap_fwd, _tmap_bwd)
+
+
 class SparseConv(nn.Module):
     """Sparse convolution over a precomputed neighbor map.
 
@@ -141,9 +234,13 @@ class SparseConv(nn.Module):
     # map-free z-window path for same-stride k3 convs at C_in == 32 (see
     # sparse_conv_k3_zwin); requires out coords == in coords
     zwin_extent: Optional[tuple] = None
+    # gather-only backward (valid for same-coords odd-cube kernels only;
+    # see sparse_conv_apply symmetric_bwd)
+    symmetric_bwd: bool = False
 
     @nn.compact
-    def __call__(self, x: SparseVoxels, nbr_idx, out_coords, out_mask, out_stride) -> SparseVoxels:
+    def __call__(self, x: SparseVoxels, nbr_idx, out_coords, out_mask,
+                 out_stride, transpose_map=None) -> SparseVoxels:
         c_in = x.num_channels
         # fan-in init like ME's kaiming for sparse kernels
         kernel = self.param(
@@ -163,7 +260,9 @@ class SparseConv(nn.Module):
                 kernel, self.dense_grid_extent)
         else:
             out = sparse_conv_apply(x.feats.astype(self.dtype), nbr_idx, kernel,
-                                    pallas_gather=self.pallas_gather)
+                                    pallas_gather=self.pallas_gather,
+                                    symmetric_bwd=self.symmetric_bwd,
+                                    transpose_map=transpose_map)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
             out = out + bias.astype(out.dtype)

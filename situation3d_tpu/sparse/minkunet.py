@@ -230,6 +230,7 @@ class BasicBlock(nn.Module):
     dense_grid_extent: tuple = None
     pallas_gather: Any = False
     zwin_extent: tuple = None
+    symmetric_bwd: bool = False
 
     @nn.compact
     def __call__(self, x: SparseVoxels, nbr_idx, train: bool, momentum=None) -> SparseVoxels:
@@ -237,7 +238,8 @@ class BasicBlock(nn.Module):
         out = SparseConv(self.planes, self.kernel_volume, dtype=self.dtype,
                          dense_grid_extent=self.dense_grid_extent,
                          pallas_gather=self.pallas_gather,
-                         zwin_extent=self.zwin_extent, name="conv1")(
+                         zwin_extent=self.zwin_extent,
+                         symmetric_bwd=self.symmetric_bwd, name="conv1")(
             x, nbr_idx, x.coords, x.mask, x.stride
         )
         out = SparseBatchNorm(dtype=self.dtype, name="norm1")(
@@ -247,7 +249,8 @@ class BasicBlock(nn.Module):
         out = SparseConv(self.planes, self.kernel_volume, dtype=self.dtype,
                          dense_grid_extent=self.dense_grid_extent,
                          pallas_gather=self.pallas_gather,
-                         zwin_extent=self.zwin_extent, name="conv2")(
+                         zwin_extent=self.zwin_extent,
+                         symmetric_bwd=self.symmetric_bwd, name="conv2")(
             out, nbr_idx, out.coords, out.mask, out.stride
         )
         out = SparseBatchNorm(dtype=self.dtype, name="norm2")(
@@ -314,6 +317,7 @@ class ResLayer(nn.Module):
     dense_grid_extent: tuple = None
     pallas_gather: Any = False
     zwin_extent: tuple = None
+    symmetric_bwd: bool = False
     # whole-layer z-window with ONE shared dense grid across all convs
     # (zwin_res_layer_shared; eval only — BN batch statistics need the
     # whole batch, the shared grid chunks it). Param/batch_stats tree is
@@ -338,6 +342,7 @@ class ResLayer(nn.Module):
                            dense_grid_extent=self.dense_grid_extent,
                            pallas_gather=self.pallas_gather,
                            zwin_extent=self.zwin_extent,
+                           symmetric_bwd=self.symmetric_bwd,
                            name=f"block{i}")(x, nbr_idx, train, momentum)
         return x
 
@@ -365,10 +370,18 @@ class MinkUNet(nn.Module):
         if cfg.fused_conv:
             pg = "fused_force" if cfg.fused_conv == "force" else "fused"
 
-        def conv(name, out_ch, kvol, src, nbr, lvl, stride):
+        # gather-only backward for the same-coords odd-cube convs (all
+        # k3 ResLayer convs + the k5 conv0 fallback); k2 down/up maps are
+        # not symmetric and keep the autodiff backward
+        sym_bwd = bool(getattr(cfg, "gather_bwd", False))
+
+        def conv(name, out_ch, kvol, src, nbr, lvl, stride, sym=False,
+                 tmap=None):
             return SparseConv(out_ch, kvol, dtype=dt, name=name,
-                              pallas_gather=pg)(
-                src, nbr, lvl["coords"], lvl["mask"], stride
+                              pallas_gather=pg,
+                              symmetric_bwd=sym and sym_bwd)(
+                src, nbr, lvl["coords"], lvl["mask"], stride,
+                transpose_map=tmap if sym_bwd else None
             )
 
         def bn(name, t):
@@ -398,11 +411,13 @@ class MinkUNet(nn.Module):
                                    cfg, "conv0_unique_scatter", False),
                                name="conv0p1s1")(x)
         else:
-            h = conv("conv0p1s1", cfg.init_dim, 125, x, L[0]["map_k5"], L[0], 1)
+            h = conv("conv0p1s1", cfg.init_dim, 125, x, L[0]["map_k5"],
+                     L[0], 1, sym=True)
         h = sparse_relu(bn("bn0", h))
         out_p1 = h
 
-        h = conv("conv1p1s2", cfg.init_dim, 8, h, L[1]["map_down"], L[1], 2)
+        h = conv("conv1p1s2", cfg.init_dim, 8, h, L[1]["map_down"],
+                 L[1], 2, tmap=L[0]["map_up"])
         h = sparse_relu(bn("bn1", h))
         # level-1 z-window path (C32): the ResLayer never touches
         # L[1]["map_k3"], whose construction (the largest remaining k3 map,
@@ -416,49 +431,64 @@ class MinkUNet(nn.Module):
         zwin1 = tuple(cfg.grid_extent) if zl1 else None
         zshared = zl1 == "shared" and not train
         h = ResLayer(cfg.planes[0], cfg.layers[0], dt, dense_ext(2), pg,
+                     symmetric_bwd=sym_bwd,
                      zwin_extent=None if (zl1 == "shared" and not zshared)
                      else zwin1,
                      zwin_shared=zshared, name="block1")(
             h, L[1]["map_k3"], train, momentum)
         out_b1p2 = h
 
-        h = conv("conv2p2s2", h.num_channels, 8, h, L[2]["map_down"], L[2], 4)
+        h = conv("conv2p2s2", h.num_channels, 8, h, L[2]["map_down"],
+                 L[2], 4, tmap=L[1]["map_up"])
         h = sparse_relu(bn("bn2", h))
-        h = ResLayer(cfg.planes[1], cfg.layers[1], dt, dense_ext(4), pg, name="block2")(h, L[2]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[1], cfg.layers[1], dt, dense_ext(4), pg,
+                     symmetric_bwd=sym_bwd, name="block2")(h, L[2]["map_k3"], train, momentum)
         out_b2p4 = h
 
-        h = conv("conv3p4s2", h.num_channels, 8, h, L[3]["map_down"], L[3], 8)
+        h = conv("conv3p4s2", h.num_channels, 8, h, L[3]["map_down"],
+                 L[3], 8, tmap=L[2]["map_up"])
         h = sparse_relu(bn("bn3", h))
-        h = ResLayer(cfg.planes[2], cfg.layers[2], dt, dense_ext(8), pg, name="block3")(h, L[3]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[2], cfg.layers[2], dt, dense_ext(8), pg,
+                     symmetric_bwd=sym_bwd, name="block3")(h, L[3]["map_k3"], train, momentum)
         out_b3p8 = h
 
-        h = conv("conv4p8s2", h.num_channels, 8, h, L[4]["map_down"], L[4], 16)
+        h = conv("conv4p8s2", h.num_channels, 8, h, L[4]["map_down"],
+                 L[4], 16, tmap=L[3]["map_up"])
         h = sparse_relu(bn("bn4", h))
-        h = ResLayer(cfg.planes[3], cfg.layers[3], dt, dense_ext(16), pg, name="block4")(h, L[4]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[3], cfg.layers[3], dt, dense_ext(16), pg,
+                     symmetric_bwd=sym_bwd, name="block4")(h, L[4]["map_k3"], train, momentum)
         out["feat_bottleneck"] = h  # stride 16, 256 ch (sqa_module.py:292 input)
 
-        h = conv("convtr4p16s2", cfg.planes[4], 8, h, L[3]["map_up"], L[3], 8)
+        h = conv("convtr4p16s2", cfg.planes[4], 8, h, L[3]["map_up"],
+                 L[3], 8, tmap=L[4]["map_down"])
         h = sparse_relu(bn("bntr4", h))
         h = h.cat(out_b3p8)
-        h = ResLayer(cfg.planes[4], cfg.layers[4], dt, dense_ext(8), pg, name="block5")(h, L[3]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[4], cfg.layers[4], dt, dense_ext(8), pg,
+                     symmetric_bwd=sym_bwd, name="block5")(h, L[3]["map_k3"], train, momentum)
         out["feat_layer5"] = h
 
-        h = conv("convtr5p8s2", cfg.planes[5], 8, h, L[2]["map_up"], L[2], 4)
+        h = conv("convtr5p8s2", cfg.planes[5], 8, h, L[2]["map_up"],
+                 L[2], 4, tmap=L[3]["map_down"])
         h = sparse_relu(bn("bntr5", h))
         h = h.cat(out_b2p4)
-        h = ResLayer(cfg.planes[5], cfg.layers[5], dt, dense_ext(4), pg, name="block6")(h, L[2]["map_k3"], train, momentum)
+        h = ResLayer(cfg.planes[5], cfg.layers[5], dt, dense_ext(4), pg,
+                     symmetric_bwd=sym_bwd, name="block6")(h, L[2]["map_k3"], train, momentum)
         out["feat_layer6"] = h
 
         if self.final_result:
-            h = conv("convtr6p4s2", cfg.planes[6], 8, h, L[1]["map_up"], L[1], 2)
+            h = conv("convtr6p4s2", cfg.planes[6], 8, h, L[1]["map_up"],
+                     L[1], 2, tmap=L[2]["map_down"])
             h = sparse_relu(bn("bntr6", h))
             h = h.cat(out_b1p2)
-            h = ResLayer(cfg.planes[6], cfg.layers[6], dt, dense_ext(2), pg, name="block7")(h, L[1]["map_k3"], train, momentum)
+            h = ResLayer(cfg.planes[6], cfg.layers[6], dt, dense_ext(2), pg,
+                     symmetric_bwd=sym_bwd, name="block7")(h, L[1]["map_k3"], train, momentum)
 
-            h = conv("convtr7p2s2", cfg.planes[7], 8, h, L[0]["map_up"], L[0], 1)
+            h = conv("convtr7p2s2", cfg.planes[7], 8, h, L[0]["map_up"],
+                     L[0], 1, tmap=L[1]["map_down"])
             h = sparse_relu(bn("bntr7", h))
             h = h.cat(out_p1)
-            h = ResLayer(cfg.planes[7], cfg.layers[7], dt, dense_ext(1), pg, name="block8")(h, L[0]["map_k3"], train, momentum)
+            h = ResLayer(cfg.planes[7], cfg.layers[7], dt, dense_ext(1), pg,
+                     symmetric_bwd=sym_bwd, name="block8")(h, L[0]["map_k3"], train, momentum)
             out["openscene_out"] = SparseConv1x1(
                 cfg.out_channels, use_bias=True, dtype=dt, name="final"
             )(h)

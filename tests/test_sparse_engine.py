@@ -570,6 +570,110 @@ def test_conv0_zwin_bf16_variants_bit_exact(rng):
         np.testing.assert_array_equal(outs[name][1], outs["base"][1])
 
 
+def test_symmetric_bwd_grads_match_autodiff(rng):
+    """The gather-only backward (sparse_conv_apply symmetric_bwd,
+    DESIGN.md §16) must produce the same dx/dW as XLA autodiff of the
+    plain path for a same-coords k3 map — including misses, padding
+    rows, and a nonuniform upstream cotangent. f32 + HIGHEST precision:
+    the two formulations differ only in summation order."""
+    from situation3d_tpu.sparse.conv import sparse_conv_apply
+    from situation3d_tpu.sparse.kernel_map import (build_level_grid,
+                                                   lookup_kernel_map_dense)
+
+    extent = (16, 16, 16)
+    B, cap, n_occ = 2, 64, 48
+    coords = np.zeros((B, cap, 3), np.int32)
+    mask = np.zeros((B, cap), bool)
+    for b in range(B):
+        c, m = make_sparse(rng, n_occ, span=16, cap=cap, seed_offset=b)
+        coords[b], mask[b] = c, m
+    feats = rng.randn(B, cap, 4).astype(np.float32)
+    feats[~mask] = 0
+    kernel = rng.randn(27, 4, 8).astype(np.float32) * 0.1
+    cot = rng.randn(B, cap, 8).astype(np.float32)
+    cot[~mask] = 0  # outputs are masked downstream; cotangent follows
+
+    offs = jnp.asarray(kernel_offsets(3))
+    grid, _ = jax.vmap(lambda c, m: build_level_grid(c, m, 1, extent))(
+        jnp.asarray(coords), jnp.asarray(mask))
+    nbr = jax.vmap(lambda g, oc, om: lookup_kernel_map_dense(
+        g, cap, oc, om, offs, 1, 1, extent))(
+        grid, jnp.asarray(coords), jnp.asarray(mask))
+
+    def loss(f, k, sym):
+        out = sparse_conv_apply(f, nbr, k, precision="highest",
+                                symmetric_bwd=sym)
+        return jnp.sum(out * jnp.asarray(cot))
+
+    with jax.default_matmul_precision("highest"):
+        want_dx, want_dw = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(feats), jnp.asarray(kernel), False)
+        got_dx, got_dw = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(feats), jnp.asarray(kernel), True)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(want_dw),
+                               rtol=1e-5, atol=1e-5)
+    assert float(np.abs(np.asarray(want_dx)).sum()) > 0
+    assert float(np.abs(np.asarray(want_dw)).sum()) > 0
+
+
+def test_symmetric_bwd_model_grads_match(rng):
+    """gather_bwd=True must leave the WHOLE MinkUNet's parameter
+    gradients unchanged: every k3 conv flips to the gather-only
+    symmetric backward and every k2 down/up conv to the transpose-map
+    backward (map_up/map_down pairs). final_result=True so the decoder's
+    convtr convs are exercised too. Tiny extent, f32."""
+    from situation3d_tpu.config import Config, apply_overrides
+    from situation3d_tpu.sparse.minkunet import MinkUNet, build_unet_plan
+    from situation3d_tpu.sparse.tensor import SparseVoxels
+
+    over = ["sparse.capacities=256,128,64,32,16",
+            "sparse.grid_extent=(16,16,16)"]
+    cfg_a = apply_overrides(Config(), over).sparse
+    cfg_b = apply_overrides(Config(), over + ["sparse.gather_bwd=true"]).sparse
+
+    B, cap = 2, 256
+    coords = np.zeros((B, cap, 3), np.int32)
+    mask = np.zeros((B, cap), bool)
+    for b in range(B):
+        c, m = make_sparse(rng, 96, span=16, cap=cap, seed_offset=b)
+        coords[b], mask[b] = c, m
+    feats = rng.randn(B, cap, 3).astype(np.float32)
+    feats[~mask] = 0
+
+    x = SparseVoxels(coords=jnp.asarray(coords),
+                     feats=jnp.asarray(feats),
+                     mask=jnp.asarray(mask), stride=1)
+    plan = build_unet_plan(
+        x.coords, x.mask, cfg_a.capacities, dense_lookup=cfg_a.dense_lookup,
+        extent=tuple(cfg_a.grid_extent), need_k5=False,
+        dense_downsample=cfg_a.dense_downsample)
+
+    grads = {}
+    with jax.default_matmul_precision("highest"):
+        for tag, scfg in (("a", cfg_a), ("b", cfg_b)):
+            model = MinkUNet(scfg, final_result=True, dtype=jnp.float32)
+            v = model.init({"params": jax.random.PRNGKey(0)}, x, plan,
+                           train=False)
+
+            def loss(p):
+                out = model.apply({"params": p,
+                                   "batch_stats": v["batch_stats"]},
+                                  x, plan, train=False)
+                return (jnp.sum(out["feat_bottleneck"].feats ** 2)
+                        + jnp.sum(out["openscene_out"].feats ** 2))
+
+            grads[tag] = jax.grad(loss)(v["params"])
+    ga = jax.tree_util.tree_leaves(grads["a"])
+    gb = jax.tree_util.tree_leaves(grads["b"])
+    assert len(ga) == len(gb)
+    assert any(float(np.abs(np.asarray(x_)).sum()) > 0 for x_ in ga)
+    for wa, wb in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(wb), np.asarray(wa),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_conv0_zwin_int8_grid(rng):
     """int8_grid conv0 (round-5 bandwidth lever): per-channel affine
     quantized int8 grid + occupancy lane + affine fold into the phase
