@@ -110,13 +110,16 @@ class SparseConfig:
     # no-op for this .set scatter; kept as a knob, default OFF.
     conv0_flat_gather: bool = True
     conv0_unique_scatter: bool = False
-    # gather-only backward for the same-coords k3/k5 convs
-    # (sparse/conv.py sparse_conv_apply symmetric_bwd): the map's
-    # transpose is itself under offset reversal, so dx AND dW come from
-    # ONE loop of K dy-gathers — no scatter-adds, no feats re-gathers.
-    # Default set by the interleaved train-step A/B
-    # (scripts/bench_train_ab.py, DESIGN.md §16).
-    gather_bwd: bool = False
+    # gather-only backward for ALL UNet convs (sparse/conv.py
+    # _sparse_conv_tmap): every conv's kernel-map transpose already
+    # exists (k3/k5 maps are self-transpose under column reversal;
+    # map_down/map_up are each other's transposes), so dx AND dW come
+    # from ONE loop of K dy-gathers — no scatter-adds, no feats
+    # re-gathers. Per-class 1.7-2.2x (mb_bwd_ab.py); unfrozen-encoder
+    # train step 5.33 -> 8.12 samples/s interleaved A/B -> default ON.
+    # No effect on the default frozen-encoder step (its UNet backward is
+    # DCE'd either way). DESIGN.md §16.
+    gather_bwd: bool = True
     # sort-free downsample: grid occupancy + cumsum compaction instead of
     # one lax.sort per level per sample (kernel_map.downsample_coords_dense;
     # bit-identical order for in-extent scenes). Requires dense_lookup.
