@@ -120,6 +120,15 @@ class SparseConfig:
     # No effect on the default frozen-encoder step (its UNet backward is
     # DCE'd either way). DESIGN.md §16.
     gather_bwd: bool = True
+    # flat unbatched t[i] row gathers in the XLA per-offset conv paths
+    # (forward fallback branch — i.e. the level-1 k3 class — and the
+    # gather-only backward loops): the conv0-winning access-path switch
+    # (§15) applied to the map-driven convs. In-situ interleaved probes
+    # (scripts/mb_flat_convs.py): lvl1 fwd stack 17.9 -> 6.0 ms/sample
+    # (2.98x — the class three formulations failed to crack, §9/§10);
+    # backward loops 1.7-2.6x. e2e A/B 14.20 -> 17.36 samples/s (+22%)
+    # -> default ON. DESIGN.md §17.
+    conv_flat_gather: bool = True
     # sort-free downsample: grid occupancy + cumsum compaction instead of
     # one lax.sort per level per sample (kernel_map.downsample_coords_dense;
     # bit-identical order for in-extent scenes). Requires dense_lookup.

@@ -74,6 +74,15 @@ def sparse_conv_apply(
 
 def _sparse_conv_impl(feats, nbr_idx, kernel, offset_chunk, precision,
                       pallas_gather):
+    # "+flat" suffix on the routing value: the XLA per-offset branch
+    # gathers rows FLAT (unbatched t[i] from the [B*(V+1), C] table)
+    # instead of batched take_along_axis — the same access-path switch
+    # that won conv0 13% in situ (DESIGN.md §15); probe facts say flat
+    # beats batched on this engine's row gathers (CLAUDE.md r5).
+    flat_rows = isinstance(pallas_gather, str) \
+        and pallas_gather.endswith("+flat")
+    if flat_rows:
+        pallas_gather = pallas_gather[:-5]
     B, V_in, C_in = feats.shape
     K = kernel.shape[0]
     V_out = nbr_idx.shape[1]
@@ -136,12 +145,23 @@ def _sparse_conv_impl(feats, nbr_idx, kernel, offset_chunk, precision,
                     preferred_element_type=jnp.float32, precision=precision)
             return out.astype(feats.dtype)
 
+    flat_tab = padded.reshape(B * (V_in + 1), C_in) if flat_rows else None
+    row_base = (jnp.arange(B, dtype=jnp.int32) * (V_in + 1))[:, None] \
+        if flat_rows else None
     out = jnp.zeros((B, V_out, kernel.shape[-1]), jnp.float32)
     for start in range(0, K, offset_chunk):
         stop = min(start + offset_chunk, K)
         nk = stop - start
         idx = nbr_idx[:, :, start:stop].reshape(B, V_out * nk)
-        g = jnp.take_along_axis(padded, idx[..., None], axis=1)
+        if flat_rows:
+            # negatives -> the zero pad row (take_along_axis wraps -1
+            # there; the fused path zeroes all negatives — this matches
+            # both on the documented conventions)
+            idxf = jnp.where(idx < 0, V_in, jnp.minimum(idx, V_in)) \
+                + row_base
+            g = flat_tab[idxf.reshape(-1)]
+        else:
+            g = jnp.take_along_axis(padded, idx[..., None], axis=1)
         g = g.reshape(B, V_out, nk * C_in)
         w = kernel[start:stop].reshape(nk * C_in, -1).astype(feats.dtype)
         out = out + jnp.einsum(
@@ -197,11 +217,20 @@ def _tmap_bwd(offset_chunk, precision, pallas_gather, flip_kernel, res, dy):
     dy_p = jnp.concatenate(
         [dyc, jnp.zeros((B, 1, C_out), dyc.dtype)], axis=1)
     idx_safe = jnp.where((t_map >= 0) & (t_map < V_out), t_map, V_out)
+    flat_rows = isinstance(pallas_gather, str) \
+        and pallas_gather.endswith("+flat")
+    dy_flat = dy_p.reshape(B * (V_out + 1), C_out) if flat_rows else None
+    row_base = (jnp.arange(B, dtype=jnp.int32) * (V_out + 1))[:, None] \
+        if flat_rows else None
     dx = jnp.zeros((B, V_in, C_in), jnp.float32)
     dW = [None] * K
     for j in range(K):
         kk = K - 1 - j if flip_kernel else j
-        g = jnp.take_along_axis(dy_p, idx_safe[:, :, j, None], axis=1)
+        if flat_rows:
+            g = dy_flat[(idx_safe[:, :, j] + row_base).reshape(-1)] \
+                .reshape(B, V_in, C_out)
+        else:
+            g = jnp.take_along_axis(dy_p, idx_safe[:, :, j, None], axis=1)
         dx = dx + jnp.einsum(
             "bvd,cd->bvc", g, kernel[kk].astype(g.dtype),
             preferred_element_type=jnp.float32, precision=precision)

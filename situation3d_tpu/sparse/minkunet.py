@@ -369,6 +369,10 @@ class MinkUNet(nn.Module):
         pg = cfg.pallas_gather
         if cfg.fused_conv:
             pg = "fused_force" if cfg.fused_conv == "force" else "fused"
+        if getattr(cfg, "conv_flat_gather", False):
+            # "+flat": XLA per-offset branches gather rows flat (§15's
+            # access-path switch applied to the map-driven convs)
+            pg = (pg if isinstance(pg, str) and pg else "") + "+flat"
 
         # gather-only backward for the same-coords odd-cube convs (all
         # k3 ResLayer convs + the k5 conv0 fallback); k2 down/up maps are

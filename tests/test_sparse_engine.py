@@ -618,6 +618,44 @@ def test_symmetric_bwd_grads_match_autodiff(rng):
     assert float(np.abs(np.asarray(want_dw)).sum()) > 0
 
 
+def test_flat_conv_gather_bit_exact(rng):
+    """"+flat" routing (sparse.conv_flat_gather, DESIGN.md §15/§16):
+    flat t[i] row gathers in the XLA per-offset forward branch and the
+    gather-only backward loops are pure access-path changes — bit-exact
+    vs take_along_axis, including miss (== V_in) and -1 entries."""
+    from situation3d_tpu.sparse.conv import sparse_conv_apply
+
+    B, V, K, C, D = 2, 40, 27, 16, 24
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32),
+                        jnp.bfloat16)
+    nbr_np = rng.randint(0, V + 1, (B, V, K)).astype(np.int32)
+    nbr_np[0, :5, :3] = -1          # the documented alt miss convention
+    nbr = jnp.asarray(nbr_np)
+    kern = jnp.asarray(rng.randn(K, C, D).astype(np.float32),
+                       jnp.bfloat16)
+
+    a = jax.jit(lambda f, n, k: sparse_conv_apply(f, n, k))(
+        feats, nbr, kern)
+    b = jax.jit(lambda f, n, k: sparse_conv_apply(
+        f, n, k, pallas_gather="+flat"))(feats, nbr, kern)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    nbr_j = jnp.asarray(np.where(nbr_np < 0, V, nbr_np))
+
+    def loss(f, k, pgv):
+        return sparse_conv_apply(f, nbr_j, k, pallas_gather=pgv,
+                                 symmetric_bwd=True) \
+            .astype(jnp.float32).sum()
+
+    ga = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=2)(
+        feats, kern, False)
+    gb = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=2)(
+        feats, kern, "+flat")
+    for x, y in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_symmetric_bwd_model_grads_match(rng):
     """gather_bwd=True must leave the WHOLE MinkUNet's parameter
     gradients unchanged: every k3 conv flips to the gather-only
