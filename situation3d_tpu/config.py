@@ -82,10 +82,16 @@ class SparseConfig:
     # hold them). True = auto (TPU only, falls back to pallas_gather /
     # XLA where the table doesn't fit); "force" = interpret mode on CPU
     # (tests). Takes precedence over pallas_gather where it applies.
-    # Chip-measured (v5e B=8): headline 11.63 -> 11.83 samples/s
+    # Chip-measured (v5e B=8, r3): headline 11.63 -> 11.83 samples/s
     # end-to-end; per-conv 1.1-1.5x on every UNet shape except the
     # level-1 k3 class (routed back to XLA by fused_conv_wins).
-    fused_conv: Any = True
+    # r5: those wins were against the BATCHED take_along_axis baseline;
+    # with the flat t[i] gathers (conv_flat_gather) the flat-XLA path
+    # beats both Pallas paths on every class IN SITU — e2e A/B
+    # "sparse.fused_conv=false": 17.65 (fused@C256 + vmem gathers) ->
+    # 18.75 samples/s (all-flat) — so the default is now False and the
+    # kernels stay as measured options (DESIGN.md §17 addendum).
+    fused_conv: Any = False
     # conv0 (k5, stride 1) as a map-free z-window dense-feature-grid conv
     # (sparse/conv.py sparse_conv0_zwin): removes the level-0 k5 kernel map
     # (79% of per-sample map rows) and its 125 feature gathers entirely.

@@ -110,15 +110,24 @@ def fused_conv_fits(V_in: int, C_in: int, C_out: int,
     return table + w + out + idx + scratch < budget_bytes
 
 
-def fused_conv_wins(V_in: int, C_in: int, V_out: int, K: int) -> bool:
+def fused_conv_wins(V_in: int, C_in: int, V_out: int, K: int,
+                    flat_baseline: bool = False) -> bool:
     """Measured v5e routing (interleaved repeated A/B, B=8, bf16): the
-    fused kernel beats the production path on every UNet shape EXCEPT the
-    level-1 k3 class — C_in=32 with K*V_out >= ~0.5M output rows — where
-    XLA's small-row gather engine is at its per-row fastest (~20 ns/row)
-    and the packed kernel's per-row cost doesn't pay.  Wins elsewhere:
-    k2 level-0 in-table 1.35x, k2 mid-levels 1.2-1.4x, k3 C_in=64
-    1.4-1.5x, C_in=128 1.1-1.2x, C_in=256 ~1.25x, k3 C_in=32 at
-    V_out=12288 ~1.15x."""
+    fused kernel beats the BATCHED take_along_axis path on every UNet
+    shape EXCEPT the level-1 k3 class — C_in=32 with K*V_out >= ~0.5M
+    output rows — where XLA's small-row gather engine is at its per-row
+    fastest (~20 ns/row) and the packed kernel's per-row cost doesn't
+    pay.  Wins vs batched: k2 level-0 in-table 1.35x, k2 mid-levels
+    1.2-1.4x, k3 C_in=64 1.4-1.5x, C_in=128 1.1-1.2x, C_in=256 ~1.25x,
+    k3 C_in=32 at V_out=12288 ~1.15x.
+
+    ``flat_baseline``: the fallback is the FLAT t[i] gather form
+    (sparse.conv_flat_gather, DESIGN.md §17), which re-decides the
+    routing — interleaved per-class probe (scripts/mb_fused_vs_flat.py):
+    flat beats fused at C_in<=128 (lvl2 1.30x, lvl3 1.15x, k2 1.29x);
+    fused stays ~even/ahead only at C_in=256 (0.97x)."""
+    if flat_baseline:
+        return C_in >= 256
     return not (C_in <= 32 and K > 8 and V_out * K >= 500_000)
 
 

@@ -104,7 +104,8 @@ def _sparse_conv_impl(feats, nbr_idx, kernel, offset_chunk, precision,
             from situation3d_tpu.ops.pallas.fused_conv import (
                 fused_conv_fits, fused_conv_wins, fused_sparse_conv)
             if fused_conv_fits(V_in, C_in, kernel.shape[-1]) and (
-                    force or fused_conv_wins(V_in, C_in, V_out, K)):
+                    force or fused_conv_wins(V_in, C_in, V_out, K,
+                                             flat_baseline=flat_rows)):
                 out = fused_sparse_conv(feats, nbr_idx, kernel, 256,
                                         on_cpu)
                 return out.astype(feats.dtype)

@@ -371,7 +371,10 @@ class MinkUNet(nn.Module):
             pg = "fused_force" if cfg.fused_conv == "force" else "fused"
         if getattr(cfg, "conv_flat_gather", False):
             # "+flat": XLA per-offset branches gather rows flat (§15's
-            # access-path switch applied to the map-driven convs)
+            # access-path switch applied to the map-driven convs). NOTE:
+            # a bare bool pallas_gather=True is dropped here — the flat
+            # path REPLACES the plain vmem-gather routing (chip e2e A/B:
+            # all-flat 18.75 vs kernel-mixed 17.65 samples/s, §17).
             pg = (pg if isinstance(pg, str) and pg else "") + "+flat"
 
         # gather-only backward for the same-coords odd-cube convs (all
