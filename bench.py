@@ -312,7 +312,8 @@ def roofline(extra, cfg, scenes_per_sec):
     # the chip-MEASURED per-stage budget in DESIGN.md §13
     # (scripts/bench_pipeline.py).
     extra["gather_roofline_note"] = (
-        "modeled, stale; see DESIGN.md §13 measured stage budget")
+        "modeled, stale; see DESIGN.md §13 measured stage budget "
+        "(+ §15/§17 r5 flat-gather levers, 13.33 -> 18.75)")
 
 
 def bench_blip2_decode(extra, cfg=None, B=8):

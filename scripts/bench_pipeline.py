@@ -104,9 +104,14 @@ def main():
         return jnp.asarray(rng.randn(k, ci, co).astype(np.float32),
                            jnp.bfloat16)
 
-    # routing identical to MinkUNet: pg="fused" (fused where it wins,
-    # pallas-gather/XLA fallback inside sparse_conv_apply)
-    PG = "fused"
+    # routing identical to MinkUNet (minkunet.py MinkUNet.__call__):
+    # config-driven — r5 defaults route every conv through the flat t[i]
+    # XLA path (DESIGN.md §17)
+    PG = sp.pallas_gather
+    if sp.fused_conv:
+        PG = "fused_force" if sp.fused_conv == "force" else "fused"
+    if getattr(sp, "conv_flat_gather", False):
+        PG = (PG if isinstance(PG, str) and PG else "") + "+flat"
 
     # ---- conv0 (z-window) ------------------------------------------------
     f0 = feats(caps[0], sp.in_channels, 0)
