@@ -116,6 +116,10 @@ class SparseConfig:
     # no-op for this .set scatter; kept as a knob, default OFF.
     conv0_flat_gather: bool = True
     conv0_unique_scatter: bool = False
+    # flat 2-D grid scatter (probe #6: 15.5 vs batched 18.1 ms/sample on
+    # the real rows; the scatter engine penalizes batching less than the
+    # gather engine's 3x). Default decided by e2e A/B (DESIGN.md §18).
+    conv0_flat_scatter: bool = False
     # gather-only backward for ALL UNet convs (sparse/conv.py
     # _sparse_conv_tmap): every conv's kernel-map transpose already
     # exists (k3/k5 maps are self-transpose under column reversal;

@@ -311,6 +311,7 @@ class SparseConvZWin(nn.Module):
     int8_grid: bool = False
     flat_gather: bool = False
     unique_scatter: bool = False
+    flat_scatter: bool = False
 
     @nn.compact
     def __call__(self, x: SparseVoxels) -> SparseVoxels:
@@ -326,7 +327,8 @@ class SparseConvZWin(nn.Module):
             kernel, tuple(self.extent),
             int8_grid=self.int8_grid,
             flat_gather=self.flat_gather,
-            unique_scatter=self.unique_scatter)
+            unique_scatter=self.unique_scatter,
+            flat_scatter=self.flat_scatter)
         return SparseVoxels(coords=x.coords, feats=out, mask=x.mask,
                             stride=x.stride)
 
@@ -453,6 +455,7 @@ def sparse_conv0_zwin(
     _int8_unique_scatter: bool = True,
     flat_gather: bool = False,
     unique_scatter: bool = False,
+    flat_scatter: bool = False,
 ):
     """k5 stride-1 sparse conv via a window-packed dense FEATURE grid — no
     kernel map at all.
@@ -526,6 +529,11 @@ def sparse_conv0_zwin(
         scatter — true by construction (voxels are dedup'd, one (row,
         lane) slot per (voxel, channel)); measured 10-15% on scatters
         elsewhere (CLAUDE.md).
+      flat_scatter: build the grid with a flat 2-D scatter into
+        ``[bc*n_rows, 128]`` instead of the batched 3-D form — probe #6
+        (scripts/mb_conv0_probe6.py): 15.5 vs 18.1 ms/sample on the real
+        conv0 rows; bit-exact (drop semantics preserved via an
+        out-of-bounds flat row for invalid voxels).
     Returns ([B, V, C_out], extent_misses int32 [B]).
     """
     B, V, C_in = feats.shape
@@ -617,6 +625,21 @@ def sparse_conv0_zwin(
             grid = jax.lax.bitcast_convert_type(g32, jnp.int8) \
                 .reshape((bc * n_rows, 128) if _int8_flat_gather
                          else (bc, n_rows, 128))
+        elif flat_scatter:
+            # FLAT 2-D scatter into the [bc*n_rows, 128] table (probe #6:
+            # 15.5 vs batched 18.1 ms/sample on the real rows). Invalid
+            # voxels get an out-of-bounds flat row so mode="drop" keeps
+            # the batched form's exact semantics (and uniqueness holds —
+            # nothing lands on a shared pad row).
+            fz = jnp.where(ext[..., None], f, 0)
+            rowf = jnp.where(ext, row + bidx * n_rows, bc * n_rows)
+            r3 = jnp.broadcast_to(rowf[..., None], (bc, V, C_in)).reshape(-1)
+            l3 = (lane[..., None]
+                  + jnp.arange(C_in, dtype=jnp.int32)).reshape(-1)
+            grid = jnp.zeros((bc * n_rows, 128), f.dtype)
+            grid = grid.at[r3, l3].set(
+                fz.reshape(-1), mode="drop", unique_indices=unique_scatter)
+            grid = grid.reshape(bc, n_rows, 128)
         else:
             fz = jnp.where(ext[..., None], f, 0)
             rows_c = jnp.broadcast_to(row[..., None], (bc, V, C_in))

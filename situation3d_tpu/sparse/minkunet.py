@@ -416,6 +416,8 @@ class MinkUNet(nn.Module):
                                    cfg, "conv0_flat_gather", False),
                                unique_scatter=getattr(
                                    cfg, "conv0_unique_scatter", False),
+                               flat_scatter=getattr(
+                                   cfg, "conv0_flat_scatter", False),
                                name="conv0p1s1")(x)
         else:
             h = conv("conv0p1s1", cfg.init_dim, 125, x, L[0]["map_k5"],

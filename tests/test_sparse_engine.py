@@ -558,14 +558,17 @@ def test_conv0_zwin_bf16_variants_bit_exact(rng):
                          jnp.bfloat16)
 
     outs = {}
-    for name, (fl, un) in {"base": (False, False), "uniq": (False, True),
-                           "flat": (True, False),
-                           "flat_uniq": (True, True)}.items():
-        o, miss = jax.jit(lambda f, c, m, k, fl=fl, un=un: sparse_conv0_zwin(
-            f, c, m, k, extent, flat_gather=fl, unique_scatter=un))(
+    variants = {"base": {}, "uniq": {"unique_scatter": True},
+                "flat": {"flat_gather": True},
+                "flat_uniq": {"flat_gather": True, "unique_scatter": True},
+                "fscat": {"flat_scatter": True},
+                "fscat_fg": {"flat_scatter": True, "flat_gather": True}}
+    for name, kw in variants.items():
+        o, miss = jax.jit(lambda f, c, m, k, kw=kw: sparse_conv0_zwin(
+            f, c, m, k, extent, **kw))(
             feats, jnp.asarray(coords), jnp.asarray(mask), kernel)
         outs[name] = (np.asarray(o), np.asarray(miss))
-    for name in ("uniq", "flat", "flat_uniq"):
+    for name in variants:
         np.testing.assert_array_equal(outs[name][0], outs["base"][0])
         np.testing.assert_array_equal(outs[name][1], outs["base"][1])
 
